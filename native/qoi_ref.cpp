@@ -1,0 +1,576 @@
+// qoi_ref.cpp — CPU reference QOI codec with a C ABI (loaded via ctypes).
+//
+// This is the parity oracle and CPU fallback for the TPU-native framework.
+// It implements the exact QOI semantics documented in SURVEY.md §0, matching
+// the behavior of the reference encoder/decoder (reference hot loops:
+// source/simple.cpp:17-171, streaming state machines: source/stream.cpp)
+// without sharing any of its structure: one translation unit, C-style state
+// structs, no templates/concepts.
+//
+// Build:  g++ -O3 -march=native -std=c++17 -shared -fPIC qoi_ref.cpp -o libqoiref.so
+
+#include <cstdint>
+#include <cstring>
+#include <cstddef>
+
+namespace {
+
+using u8 = std::uint8_t;
+using u32 = std::uint32_t;
+using u64 = std::uint64_t;
+using i64 = std::int64_t;
+
+constexpr int kHeaderSize = 14;
+constexpr int kEndMarkerSize = 8;
+constexpr int kRunLimit = 62;
+constexpr u8 kEndMarker[8] = {0, 0, 0, 0, 0, 0, 0, 1};
+
+constexpr u8 TAG_RGB = 0xFE;
+constexpr u8 TAG_RGBA = 0xFF;
+constexpr u8 TAG_INDEX = 0x00;
+constexpr u8 TAG_DIFF = 0x40;
+constexpr u8 TAG_LUMA = 0x80;
+constexpr u8 TAG_RUN = 0xC0;
+
+struct Px {
+  u8 r, g, b, a;
+};
+
+inline bool same(Px x, Px y) {
+  return x.r == y.r && x.g == y.g && x.b == y.b && x.a == y.a;
+}
+
+inline u32 hash6(Px p) {
+  // (3r + 5g + 7b + 11a) % 64  — SURVEY.md §0 (reference: source/util.hpp:347-351)
+  return (p.r * 3u + p.g * 5u + p.b * 7u + p.a * 11u) & 63u;
+}
+
+inline Px start_pixel() { return Px{0, 0, 0, 0xFF}; }
+
+inline void put_be32(u8* out, u32 v) {
+  out[0] = (u8)(v >> 24);
+  out[1] = (u8)(v >> 16);
+  out[2] = (u8)(v >> 8);
+  out[3] = (u8)v;
+}
+
+inline u32 get_be32(const u8* in) {
+  return ((u32)in[0] << 24) | ((u32)in[1] << 16) | ((u32)in[2] << 8) | (u32)in[3];
+}
+
+inline int diff_in_range(int d) { return d >= -2 && d <= 1; }
+inline int luma_g_in_range(int d) { return d >= -32 && d <= 31; }
+inline int luma_rb_in_range(int d) { return d >= -8 && d <= 7; }
+
+// Signed wraparound difference of two u8 values, as the reference's
+// `i8 d = (u8)(curr - prev)` cast chain produces.
+inline int sdiff(u8 a, u8 b) { return (int)(std::int8_t)(u8)(a - b); }
+
+}  // namespace
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Header
+// ---------------------------------------------------------------------------
+
+// Returns 0 on success. Parses width/height/channels/colorspace.
+int qoiref_read_header(const u8* data, u64 size, u32* width, u32* height,
+                       u8* channels, u8* colorspace) {
+  if (size < kHeaderSize) return -1;
+  if (std::memcmp(data, "qoif", 4) != 0) return -2;
+  u32 w = get_be32(data + 4);
+  u32 h = get_be32(data + 8);
+  u8 ch = data[12];
+  u8 cs = data[13];
+  if ((ch != 3 && ch != 4) || cs > 1 || w == 0 || h == 0) return -3;
+  *width = w;
+  *height = h;
+  *channels = ch;
+  *colorspace = cs;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// One-shot encode
+//
+// Emits chunks into `out` (capacity out_cap).  A chunk is only written if it
+// fits entirely ("no torn chunk", SURVEY.md §2 C4).  Returns bytes written;
+// sets *complete to whether the whole image (incl. end marker) was emitted.
+// ---------------------------------------------------------------------------
+
+u64 qoiref_encode(const u8* pixels, u32 width, u32 height, u8 channels,
+                  u8 colorspace, u8* out, u64 out_cap, int* complete) {
+  u64 pos = 0;
+  bool ok = true;
+
+  auto emit = [&](const u8* bytes, u64 n) {
+    if (!ok) return;
+    if (pos + n > out_cap) {
+      ok = false;
+      return;
+    }
+    std::memcpy(out + pos, bytes, n);
+    pos += n;
+  };
+
+  // header
+  {
+    u8 hdr[kHeaderSize];
+    std::memcpy(hdr, "qoif", 4);
+    put_be32(hdr + 4, width);
+    put_be32(hdr + 8, height);
+    hdr[12] = channels;
+    hdr[13] = colorspace;
+    emit(hdr, kHeaderSize);
+  }
+
+  Px seen[64] = {};
+  Px prev = start_pixel();
+  u32 run = 0;
+  const u64 n_px = (u64)width * height;
+  u64 i = 0;
+
+  for (; i < n_px; ++i) {
+    Px curr;
+    const u8* p = pixels + i * channels;
+    curr.r = p[0];
+    curr.g = p[1];
+    curr.b = p[2];
+    curr.a = channels == 4 ? p[3] : 0xFF;
+
+    if (same(curr, prev)) {
+      if (++run == kRunLimit) {
+        u8 b = (u8)(TAG_RUN | (run - 1));
+        emit(&b, 1);
+        if (!ok) { --run; break; }
+        run = 0;
+      }
+    } else {
+      if (run > 0) {
+        u8 b = (u8)(TAG_RUN | (run - 1));
+        emit(&b, 1);
+        if (!ok) break;
+        run = 0;
+      }
+      u32 idx = hash6(curr);
+      if (same(seen[idx], curr)) {
+        u8 b = (u8)(TAG_INDEX | idx);
+        emit(&b, 1);
+        if (!ok) break;
+      } else {
+        // Table updated before the alpha test — SURVEY.md §0 step 4
+        // (reference: source/simple.cpp:57).
+        Px displaced = seen[idx];
+        seen[idx] = curr;
+        if (channels == 4 && prev.a != curr.a) {
+          u8 b[5] = {TAG_RGBA, curr.r, curr.g, curr.b, curr.a};
+          emit(b, 5);
+          if (!ok) { seen[idx] = displaced; break; }
+        } else {
+          int dr = sdiff(curr.r, prev.r);
+          int dg = sdiff(curr.g, prev.g);
+          int db = sdiff(curr.b, prev.b);
+          int dr_dg = dr - dg;
+          int db_dg = db - dg;
+          if (diff_in_range(dr) && diff_in_range(dg) && diff_in_range(db)) {
+            u8 b = (u8)(TAG_DIFF | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2));
+            emit(&b, 1);
+          } else if (luma_rb_in_range(dr_dg) && luma_rb_in_range(db_dg) &&
+                     luma_g_in_range(dg)) {
+            u8 b[2] = {(u8)(TAG_LUMA | (dg + 32)),
+                       (u8)(((dr_dg + 8) << 4) | (db_dg + 8))};
+            emit(b, 2);
+          } else {
+            u8 b[4] = {TAG_RGB, curr.r, curr.g, curr.b};
+            emit(b, 4);
+          }
+          if (!ok) { seen[idx] = displaced; break; }
+        }
+      }
+    }
+    prev = curr;
+  }
+
+  if (ok && run > 0) {
+    u8 b = (u8)(TAG_RUN | (run - 1));
+    emit(&b, 1);
+  }
+  if (ok) emit(kEndMarker, kEndMarkerSize);
+  *complete = ok ? 1 : 0;
+  return pos;
+}
+
+// ---------------------------------------------------------------------------
+// One-shot decode (tolerant).
+//
+// Decodes chunks from in[header..size-end_marker); reads past the end yield
+// 0x00 and the loop continues until both input and output are exhausted —
+// SURVEY.md §0 "decoder quirks" (reference: source/simple.cpp:100-171).
+// `src_channels` is the stream's channel count, `dst_channels` what to write.
+// `out` must hold width*height*dst_channels bytes.
+// ---------------------------------------------------------------------------
+
+void qoiref_decode(const u8* in, u64 size, u32 width, u32 height,
+                   u8 src_channels, u8 dst_channels, u8* out) {
+  Px seen[64] = {};
+  Px prev = start_pixel();
+  seen[hash6(prev)] = prev;
+
+  const u64 n_px = (u64)width * height;
+  // Tolerant bound: last 8 bytes are treated as the end marker even if absent.
+  const i64 chunks_end = (i64)size - kHeaderSize - kEndMarkerSize;
+  i64 di = 0;  // data index relative to header end
+
+  auto rd = [&]() -> u8 {
+    i64 abs = kHeaderSize + di++;
+    return (abs >= 0 && (u64)abs < size) ? in[abs] : 0x00;
+  };
+  auto wr = [&](u64 pi, Px px) {
+    if (pi >= n_px) return;  // clamp (reference relies on caller buffer size)
+    u8* o = out + pi * dst_channels;
+    o[0] = px.r;
+    o[1] = px.g;
+    o[2] = px.b;
+    if (dst_channels == 4) o[3] = px.a;
+  };
+
+  u64 pi = 0;
+  while (di < chunks_end || pi < n_px) {
+    u8 tag = rd();
+    Px curr = prev;
+    if (tag == TAG_RGB) {
+      curr.r = rd();
+      curr.g = rd();
+      curr.b = rd();
+    } else if (tag == TAG_RGBA) {
+      curr.r = rd();
+      curr.g = rd();
+      curr.b = rd();
+      curr.a = rd();
+    } else {
+      switch (tag & 0xC0) {
+        case TAG_INDEX:
+          curr = seen[tag & 0x3F];
+          break;
+        case TAG_DIFF:
+          curr.r = (u8)(prev.r + ((tag >> 4) & 3) - 2);
+          curr.g = (u8)(prev.g + ((tag >> 2) & 3) - 2);
+          curr.b = (u8)(prev.b + (tag & 3) - 2);
+          break;
+        case TAG_LUMA: {
+          u8 rb = rd();
+          int dg = (tag & 0x3F) - 32;
+          int dr = dg + ((rb >> 4) & 0xF) - 8;
+          int db = dg + (rb & 0xF) - 8;
+          curr.r = (u8)(prev.r + dr);
+          curr.g = (u8)(prev.g + dg);
+          curr.b = (u8)(prev.b + db);
+          break;
+        }
+        case TAG_RUN: {
+          // Emits prev `run` times (clamped), without touching prev/seen —
+          // SURVEY.md §0 (reference: source/simple.cpp:156-163).
+          int run = (tag & 0x3F) + 1;
+          while (run-- > 0 && pi < n_px) wr(pi++, prev);
+          continue;
+        }
+      }
+    }
+    wr(pi++, curr);
+    prev = seen[hash6(curr)] = curr;
+  }
+}
+
+// Vertical flip of a raw image buffer in place.
+void qoiref_flip_vertical(u8* data, u32 width, u32 height, u8 channels) {
+  const u64 stride = (u64)width * channels;
+  u8* tmp = new u8[stride];
+  for (u32 y = 0; y < height / 2; ++y) {
+    u8* a = data + (u64)y * stride;
+    u8* b = data + (u64)(height - 1 - y) * stride;
+    std::memcpy(tmp, a, stride);
+    std::memcpy(a, b, stride);
+    std::memcpy(b, tmp, stride);
+  }
+  delete[] tmp;
+}
+
+// ---------------------------------------------------------------------------
+// Streaming codecs — bounded-state resumable encode/decode.
+// State layout mirrors the ~260-byte carry identified in SURVEY.md §5:
+// channels (engaged flag), run counter, prev pixel, 64-entry table.
+// ---------------------------------------------------------------------------
+
+struct StreamState {
+  int initialized;   // 0 = not initialized
+  u8 channels;       // stream channels
+  u8 target;         // decoder target channels
+  u32 run;           // pending run counter
+  Px prev;
+  Px seen[64];
+};
+
+u64 qoiref_stream_state_size() { return sizeof(StreamState); }
+
+void qoiref_stream_reset(StreamState* s) {
+  s->initialized = 0;
+  s->channels = 0;
+  s->target = 0;
+  s->run = 0;
+  s->prev = start_pixel();
+  std::memset(s->seen, 0, sizeof(s->seen));
+}
+
+// --- encoder ---------------------------------------------------------------
+
+// Writes the header; returns header size, or <0 on error:
+// -1 already initialized, -2 out buffer too short.
+i64 qoiref_enc_initialize(StreamState* s, u8* out, u64 out_cap, u32 width,
+                          u32 height, u8 channels, u8 colorspace) {
+  if (s->initialized) return -1;
+  if (out_cap < kHeaderSize) return -2;
+  std::memcpy(out, "qoif", 4);
+  put_be32(out + 4, width);
+  put_be32(out + 8, height);
+  out[12] = channels;
+  out[13] = colorspace;
+  qoiref_stream_reset(s);
+  s->initialized = 1;
+  s->channels = channels;
+  return kHeaderSize;
+}
+
+// Consumes whole pixels from `in`, emits whole chunks into `out`.  On a full
+// output buffer, rolls back the clobbered table slot and un-consumes the
+// last pixel (SURVEY.md §2 C7 "transactional rollback"; reference:
+// source/stream.cpp:152-236).  Returns processed/written via out-params.
+int qoiref_enc_encode(StreamState* s, u8* out, u64 out_cap, const u8* in,
+                      u64 in_size, u64* processed, u64* written) {
+  if (!s->initialized) return -1;
+  if (out_cap == 0 || in_size == 0) return -2;
+  if (out_cap < 5) return -3;
+
+  const u8 ch = s->channels;
+  const u64 n_px = in_size / ch;  // whole pixels only
+  u64 pos = 0;
+  bool ok = true;
+
+  auto emit = [&](const u8* bytes, u64 n) -> bool {
+    if (pos + n > out_cap) {
+      ok = false;
+      return false;
+    }
+    std::memcpy(out + pos, bytes, n);
+    pos += n;
+    return true;
+  };
+
+  u64 i = 0;
+  for (; i < n_px; ++i) {
+    Px curr;
+    const u8* p = in + i * ch;
+    curr.r = p[0];
+    curr.g = p[1];
+    curr.b = p[2];
+    curr.a = ch == 4 ? p[3] : 0xFF;
+
+    if (same(curr, s->prev)) {
+      if (++s->run == kRunLimit) {
+        u8 b = (u8)(TAG_RUN | (s->run - 1));
+        if (!emit(&b, 1)) { --s->run; break; }
+        s->run = 0;
+      }
+    } else {
+      if (s->run > 0) {
+        u8 b = (u8)(TAG_RUN | (s->run - 1));
+        if (!emit(&b, 1)) break;
+        s->run = 0;
+      }
+      u32 idx = hash6(curr);
+      if (same(s->seen[idx], curr)) {
+        u8 b = (u8)(TAG_INDEX | idx);
+        if (!emit(&b, 1)) break;
+      } else {
+        Px displaced = s->seen[idx];
+        s->seen[idx] = curr;
+        bool wrote;
+        if (ch == 4 && s->prev.a != curr.a) {
+          u8 b[5] = {TAG_RGBA, curr.r, curr.g, curr.b, curr.a};
+          wrote = emit(b, 5);
+        } else {
+          int dr = sdiff(curr.r, s->prev.r);
+          int dg = sdiff(curr.g, s->prev.g);
+          int db = sdiff(curr.b, s->prev.b);
+          int dr_dg = dr - dg;
+          int db_dg = db - dg;
+          if (diff_in_range(dr) && diff_in_range(dg) && diff_in_range(db)) {
+            u8 b = (u8)(TAG_DIFF | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2));
+            wrote = emit(&b, 1);
+          } else if (luma_rb_in_range(dr_dg) && luma_rb_in_range(db_dg) &&
+                     luma_g_in_range(dg)) {
+            u8 b[2] = {(u8)(TAG_LUMA | (dg + 32)),
+                       (u8)(((dr_dg + 8) << 4) | (db_dg + 8))};
+            wrote = emit(b, 2);
+          } else {
+            u8 b[4] = {TAG_RGB, curr.r, curr.g, curr.b};
+            wrote = emit(b, 4);
+          }
+        }
+        if (!wrote) {
+          s->seen[idx] = displaced;  // rollback
+          break;
+        }
+      }
+    }
+    s->prev = curr;
+  }
+
+  (void)ok;
+  *processed = i * ch;  // un-consumed pixel excluded automatically
+  *written = pos;
+  return 0;
+}
+
+// Flushes the pending run (if any) + end marker, then resets state.
+// Returns bytes written or <0 on error (-3 = TooShort).
+i64 qoiref_enc_finalize(StreamState* s, u8* out, u64 out_cap) {
+  if (!s->initialized) return -1;
+  if (out_cap == 0) return -2;
+  u64 need = kEndMarkerSize + (s->run > 0 ? 1 : 0);
+  if (out_cap < need) return -3;
+  u64 pos = 0;
+  if (s->run > 0) out[pos++] = (u8)(TAG_RUN | (s->run - 1));
+  std::memcpy(out + pos, kEndMarker, kEndMarkerSize);
+  pos += kEndMarkerSize;
+  qoiref_stream_reset(s);
+  return (i64)pos;
+}
+
+// --- decoder ---------------------------------------------------------------
+
+// Parses the header, seeds the table with the start pixel, applies the
+// target channel override (0 = keep stream channels).  Returns 0 on success.
+int qoiref_dec_initialize(StreamState* s, const u8* in, u64 size, u8 target,
+                          u32* width, u32* height, u8* channels,
+                          u8* colorspace) {
+  if (s->initialized) return -1;
+  int rc = qoiref_read_header(in, size, width, height, channels, colorspace);
+  if (rc != 0) return rc;
+  qoiref_stream_reset(s);
+  s->initialized = 1;
+  s->channels = *channels;
+  s->target = target ? target : *channels;
+  s->prev = start_pixel();
+  s->seen[hash6(s->prev)] = s->prev;
+  return 0;
+}
+
+// Decodes whole chunks from `in` into `out` (whole pixels).  A chunk split
+// across the input boundary is left unconsumed; a pending OP_RUN persists in
+// state and continues emitting on the next call / drain_run.
+int qoiref_dec_decode(StreamState* s, u8* out, u64 out_cap, const u8* in,
+                      u64 in_size, u64* processed, u64* written) {
+  if (!s->initialized) return -1;
+  if (out_cap == 0) return -2;
+  const u8 tch = s->target;
+  if (out_cap < tch) return -3;
+
+  const u64 max_px = out_cap / tch;
+  u64 di = 0;
+  u64 pi = 0;
+
+  auto wr = [&](Px px) {
+    u8* o = out + pi * tch;
+    o[0] = px.r;
+    o[1] = px.g;
+    o[2] = px.b;
+    if (tch == 4) o[3] = px.a;
+    ++pi;
+  };
+
+  while (pi < max_px) {
+    if (s->run > 0) {
+      --s->run;
+      wr(s->prev);
+      continue;
+    }
+    if (di >= in_size) break;
+    u8 tag = in[di];
+    // chunk length from the tag byte alone
+    u64 need = 1;
+    if (tag == TAG_RGB) need = 4;
+    else if (tag == TAG_RGBA) need = 5;
+    else if ((tag & 0xC0) == TAG_LUMA) need = 2;
+    if (di + need > in_size) break;  // partial chunk: leave unconsumed
+
+    Px curr = s->prev;
+    if (tag == TAG_RGB) {
+      curr.r = in[di + 1];
+      curr.g = in[di + 2];
+      curr.b = in[di + 3];
+    } else if (tag == TAG_RGBA) {
+      curr.r = in[di + 1];
+      curr.g = in[di + 2];
+      curr.b = in[di + 3];
+      curr.a = in[di + 4];
+    } else {
+      switch (tag & 0xC0) {
+        case TAG_INDEX:
+          curr = s->seen[tag & 0x3F];
+          break;
+        case TAG_DIFF:
+          curr.r = (u8)(s->prev.r + ((tag >> 4) & 3) - 2);
+          curr.g = (u8)(s->prev.g + ((tag >> 2) & 3) - 2);
+          curr.b = (u8)(s->prev.b + (tag & 3) - 2);
+          break;
+        case TAG_LUMA: {
+          u8 rb = in[di + 1];
+          int dg = (tag & 0x3F) - 32;
+          curr.r = (u8)(s->prev.r + dg + ((rb >> 4) & 0xF) - 8);
+          curr.g = (u8)(s->prev.g + dg);
+          curr.b = (u8)(s->prev.b + dg + (rb & 0xF) - 8);
+          break;
+        }
+        case TAG_RUN: {
+          // store run in state, emit via the loop head (incl. this call)
+          di += 1;
+          s->run = (u32)(tag & 0x3F) + 1;
+          continue;
+        }
+      }
+    }
+    di += need;
+    wr(curr);
+    s->prev = s->seen[hash6(curr)] = curr;
+  }
+
+  *processed = di;
+  *written = pi * tch;
+  return 0;
+}
+
+// Emits up to out_cap/channels pixels of the pending run; returns bytes written.
+i64 qoiref_dec_drain_run(StreamState* s, u8* out, u64 out_cap) {
+  if (!s->initialized) return -1;
+  if (out_cap == 0) return -2;
+  const u8 tch = s->target;
+  u64 pi = 0;
+  while (s->run > 0 && (pi + 1) * tch <= out_cap) {
+    u8* o = out + pi * tch;
+    o[0] = s->prev.r;
+    o[1] = s->prev.g;
+    o[2] = s->prev.b;
+    if (tch == 4) o[3] = s->prev.a;
+    ++pi;
+    --s->run;
+  }
+  return (i64)(pi * tch);
+}
+
+u32 qoiref_dec_run_count(const StreamState* s) { return s->run; }
+u8 qoiref_stream_channels(const StreamState* s) { return s->channels; }
+u8 qoiref_dec_target(const StreamState* s) { return s->target; }
+int qoiref_stream_is_initialized(const StreamState* s) { return s->initialized; }
+
+}  // extern "C"

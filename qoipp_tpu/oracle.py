@@ -1,0 +1,225 @@
+"""ctypes bindings to the native C++ CPU oracle codec (native/qoi_ref.cpp).
+
+The oracle is the bit-exact parity reference for the TPU kernels (mirroring
+how the reference library tests against upstream qoi.h — SURVEY.md §4) and
+doubles as the fast CPU fallback backend.  It is compiled on first use with
+g++ and cached next to the source.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .common import Channels, Colorspace, Desc, HEADER_SIZE
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
+_SRC = _NATIVE_DIR / "qoi_ref.cpp"
+_LIB = _NATIVE_DIR / "libqoiref.so"
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+
+
+def _build() -> None:
+    cmd = [
+        "g++",
+        "-O3",
+        "-march=native",
+        "-std=c++17",
+        "-shared",
+        "-fPIC",
+        str(_SRC),
+        "-o",
+        str(_LIB),
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _load() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+            _build()
+        lib = ctypes.CDLL(str(_LIB))
+
+        lib.qoiref_read_header.restype = ctypes.c_int
+        lib.qoiref_read_header.argtypes = [
+            _u8p, ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.qoiref_encode.restype = ctypes.c_uint64
+        lib.qoiref_encode.argtypes = [
+            _u8p, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint8,
+            ctypes.c_uint8, _u8p, ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.qoiref_decode.restype = None
+        lib.qoiref_decode.argtypes = [
+            _u8p, ctypes.c_uint64, ctypes.c_uint32, ctypes.c_uint32,
+            ctypes.c_uint8, ctypes.c_uint8, _u8p,
+        ]
+        lib.qoiref_flip_vertical.restype = None
+        lib.qoiref_flip_vertical.argtypes = [
+            _u8p, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint8,
+        ]
+        lib.qoiref_stream_state_size.restype = ctypes.c_uint64
+        lib.qoiref_stream_state_size.argtypes = []
+        lib.qoiref_stream_reset.restype = None
+        lib.qoiref_stream_reset.argtypes = [ctypes.c_void_p]
+        lib.qoiref_enc_initialize.restype = ctypes.c_int64
+        lib.qoiref_enc_initialize.argtypes = [
+            ctypes.c_void_p, _u8p, ctypes.c_uint64,
+            ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint8, ctypes.c_uint8,
+        ]
+        lib.qoiref_enc_encode.restype = ctypes.c_int
+        lib.qoiref_enc_encode.argtypes = [
+            ctypes.c_void_p, _u8p, ctypes.c_uint64, _u8p, ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+        ]
+        lib.qoiref_enc_finalize.restype = ctypes.c_int64
+        lib.qoiref_enc_finalize.argtypes = [ctypes.c_void_p, _u8p, ctypes.c_uint64]
+        lib.qoiref_dec_initialize.restype = ctypes.c_int
+        lib.qoiref_dec_initialize.argtypes = [
+            ctypes.c_void_p, _u8p, ctypes.c_uint64, ctypes.c_uint8,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.qoiref_dec_decode.restype = ctypes.c_int
+        lib.qoiref_dec_decode.argtypes = [
+            ctypes.c_void_p, _u8p, ctypes.c_uint64, _u8p, ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+        ]
+        lib.qoiref_dec_drain_run.restype = ctypes.c_int64
+        lib.qoiref_dec_drain_run.argtypes = [ctypes.c_void_p, _u8p, ctypes.c_uint64]
+        lib.qoiref_dec_run_count.restype = ctypes.c_uint32
+        lib.qoiref_dec_run_count.argtypes = [ctypes.c_void_p]
+        lib.qoiref_stream_channels.restype = ctypes.c_uint8
+        lib.qoiref_stream_channels.argtypes = [ctypes.c_void_p]
+        lib.qoiref_dec_target.restype = ctypes.c_uint8
+        lib.qoiref_dec_target.argtypes = [ctypes.c_void_p]
+        lib.qoiref_stream_is_initialized.restype = ctypes.c_int
+        lib.qoiref_stream_is_initialized.argtypes = [ctypes.c_void_p]
+
+        _lib = lib
+        return lib
+
+
+def _np_u8(data) -> np.ndarray:
+    arr = np.frombuffer(bytes(data), dtype=np.uint8) if not isinstance(
+        data, np.ndarray
+    ) else np.ascontiguousarray(data, dtype=np.uint8)
+    return arr
+
+
+def _ptr(arr: np.ndarray):
+    return arr.ctypes.data_as(_u8p)
+
+
+# --------------------------------------------------------------------------
+# One-shot API
+# --------------------------------------------------------------------------
+
+
+def encode(pixels, desc: Desc, out_cap: Optional[int] = None) -> Tuple[np.ndarray, bool]:
+    """Encode raw pixels -> (qoi bytes, complete). out_cap bounds the output
+    buffer (default: worst case)."""
+    lib = _load()
+    arr = _np_u8(pixels)
+    if out_cap is None:
+        out_cap = (int(desc.channels) + 1) * desc.width * desc.height + 22
+    out = np.empty(out_cap, dtype=np.uint8)
+    complete = ctypes.c_int(0)
+    n = lib.qoiref_encode(
+        _ptr(arr), desc.width, desc.height, int(desc.channels),
+        int(desc.colorspace), _ptr(out), out_cap, ctypes.byref(complete),
+    )
+    return out[: int(n)], bool(complete.value)
+
+
+def decode(data, desc: Desc, dst_channels: Channels) -> np.ndarray:
+    """Tolerant decode of a full qoi byte stream into raw pixels."""
+    lib = _load()
+    arr = _np_u8(data)
+    n_out = desc.width * desc.height * int(dst_channels)
+    out = np.zeros(n_out, dtype=np.uint8)
+    lib.qoiref_decode(
+        _ptr(arr), arr.size, desc.width, desc.height,
+        int(desc.channels), int(dst_channels), _ptr(out),
+    )
+    return out
+
+
+def read_header(data) -> Optional[Desc]:
+    lib = _load()
+    arr = _np_u8(data)
+    w = ctypes.c_uint32(0)
+    h = ctypes.c_uint32(0)
+    ch = ctypes.c_uint8(0)
+    cs = ctypes.c_uint8(0)
+    rc = lib.qoiref_read_header(
+        _ptr(arr), arr.size, ctypes.byref(w), ctypes.byref(h),
+        ctypes.byref(ch), ctypes.byref(cs),
+    )
+    if rc != 0:
+        return None
+    return Desc(w.value, h.value, Channels(ch.value), Colorspace(cs.value))
+
+
+def flip_vertical(data: np.ndarray, desc: Desc) -> np.ndarray:
+    lib = _load()
+    arr = np.ascontiguousarray(data, dtype=np.uint8).copy()
+    lib.qoiref_flip_vertical(_ptr(arr), desc.width, desc.height, int(desc.channels))
+    return arr
+
+
+# --------------------------------------------------------------------------
+# Streaming state handle
+# --------------------------------------------------------------------------
+
+
+class NativeStreamState:
+    """Owns one native StreamState blob; wrapped by qoipp_tpu.stream."""
+
+    def __init__(self):
+        lib = _load()
+        self._lib = lib
+        size = lib.qoiref_stream_state_size()
+        self._blob = ctypes.create_string_buffer(int(size))
+        lib.qoiref_stream_reset(self._blob)
+
+    @property
+    def lib(self):
+        return self._lib
+
+    @property
+    def handle(self):
+        return self._blob
+
+    def reset(self):
+        self._lib.qoiref_stream_reset(self._blob)
+
+    def is_initialized(self) -> bool:
+        return bool(self._lib.qoiref_stream_is_initialized(self._blob))
+
+    def run_count(self) -> int:
+        return int(self._lib.qoiref_dec_run_count(self._blob))
+
+    def channels(self) -> int:
+        return int(self._lib.qoiref_stream_channels(self._blob))
+
+    def target(self) -> int:
+        return int(self._lib.qoiref_dec_target(self._blob))

@@ -171,8 +171,9 @@ u64 qoiref_encode(const u8* pixels, u32 width, u32 height, u8 channels,
           int dr = sdiff(curr.r, prev.r);
           int dg = sdiff(curr.g, prev.g);
           int db = sdiff(curr.b, prev.b);
-          int dr_dg = dr - dg;
-          int db_dg = db - dg;
+          // i8 wraparound, as the reference's `i8 dr_dg = dr - dg` narrowing
+          int dr_dg = (int)(std::int8_t)(u8)(dr - dg);
+          int db_dg = (int)(std::int8_t)(u8)(db - dg);
           if (diff_in_range(dr) && diff_in_range(dg) && diff_in_range(db)) {
             u8 b = (u8)(TAG_DIFF | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2));
             emit(&b, 1);
@@ -402,8 +403,9 @@ int qoiref_enc_encode(StreamState* s, u8* out, u64 out_cap, const u8* in,
           int dr = sdiff(curr.r, s->prev.r);
           int dg = sdiff(curr.g, s->prev.g);
           int db = sdiff(curr.b, s->prev.b);
-          int dr_dg = dr - dg;
-          int db_dg = db - dg;
+          // i8 wraparound, as the reference's `i8 dr_dg = dr - dg` narrowing
+          int dr_dg = (int)(std::int8_t)(u8)(dr - dg);
+          int db_dg = (int)(std::int8_t)(u8)(db - dg);
           if (diff_in_range(dr) && diff_in_range(dg) && diff_in_range(db)) {
             u8 b = (u8)(TAG_DIFF | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2));
             wrote = emit(&b, 1);

@@ -1,0 +1,265 @@
+"""TPU-native parallel QOI encoder.
+
+The reference encodes with a sequential per-pixel loop carrying (prev pixel,
+run counter, 64-entry index table) — reference: source/simple.cpp:36-89.
+This module reformulates that loop as dense data-parallel passes with NO
+speculation, based on one structural fact about QOI:
+
+  After the encoder processes a differing pixel p, the table slot hash(p)
+  ALWAYS holds p — whether the op emitted was INDEX (slot already held p) or
+  RGBA/DIFF/LUMA/RGB (slot written at simple.cpp:57).  Run pixels never touch
+  the table.  Hence the table contents at any position are a pure function of
+  the raw pixel sequence, independent of op decisions — and every op decision
+  becomes independently computable:
+
+  * run membership / run-chunk emission: comparisons with the left neighbor
+    plus a cummax-based streak count (62-flush arithmetic is closed-form);
+  * OP_INDEX: pixel i emits INDEX iff the most recent preceding differing
+    pixel with the same hash equals pixel i ("last same-hash predecessor" —
+    a 64-slot overwrite scan, computed hierarchically: 64-pixel micro-tile
+    pairwise max + an associative scan over micro-tile table summaries);
+  * OP_RGBA/DIFF/LUMA/RGB: pure wraparound-int8 arithmetic on (p_i, p_{i-1});
+  * byte placement: per-pixel emitted-byte counts -> exclusive prefix sum ->
+    gather-based byte materialization (no serial emitter).
+
+Output is bit-exact with the reference for every input.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .bitops import (
+    START_PIXEL_PACKED,
+    hash6,
+    pack_rgba,
+    to_int8,
+    unpack_channel,
+)
+
+TILE = 64  # micro-tile size for the same-hash-predecessor computation
+
+TAG_RGB = 0xFE
+TAG_RGBA = 0xFF
+TAG_INDEX = 0x00
+TAG_DIFF = 0x40
+TAG_LUMA = 0x80
+TAG_RUN = 0xC0
+
+
+def _last_same_hash_value(packed, h, noneq):
+    """For each position i: packed value of the most recent j < i with
+    noneq[j] and h[j] == h[i]; packed 0 (the zero-initialized table entry)
+    when no such j exists.
+
+    packed/h/noneq: (Nb,) with Nb % TILE == 0.
+    """
+    nb = packed.shape[0]
+    s = nb // TILE
+    ph = packed.reshape(s, TILE)
+    hh = h.reshape(s, TILE).astype(jnp.int32)
+    ne = noneq.reshape(s, TILE)
+
+    j_ids = jnp.arange(TILE, dtype=jnp.int32)
+
+    # Within-tile: last same-hash predecessor via a pairwise masked max —
+    # O(TILE) work per pixel, fully parallel (XLA fuses mask into the reduce).
+    pair = (
+        (hh[:, None, :] == hh[:, :, None])
+        & (j_ids[None, None, :] < j_ids[None, :, None])
+        & ne[:, None, :]
+    )
+    lastj = jnp.max(jnp.where(pair, j_ids[None, None, :], -1), axis=2)  # (s, TILE)
+    local_found = lastj >= 0
+    local_val = jnp.take_along_axis(ph, jnp.maximum(lastj, 0), axis=1)
+
+    # Micro-tile summary: per hash slot, the last differing pixel in the tile.
+    slot_ids = jnp.arange(64, dtype=jnp.int32)
+    covers = (hh[:, None, :] == slot_ids[None, :, None]) & ne[:, None, :]  # (s,64,TILE)
+    tj = jnp.max(jnp.where(covers, j_ids[None, None, :], -1), axis=2)  # (s, 64)
+    t_written = tj >= 0
+    t_val = jnp.take_along_axis(ph, jnp.maximum(tj, 0), axis=1)  # only valid where written
+
+    # Cross-tile exclusive overwrite-scan of (value, written) summaries.
+    def combine(a, b):
+        av, aw = a
+        bv, bw = b
+        return jnp.where(bw, bv, av), aw | bw
+
+    sv, sw = jax.lax.associative_scan(combine, (t_val, t_written), axis=0)
+    inc_v = jnp.concatenate([jnp.zeros((1, 64), sv.dtype), sv[:-1]], axis=0)
+    inc_w = jnp.concatenate([jnp.zeros((1, 64), bool), sw[:-1]], axis=0)
+    incoming = jnp.where(inc_w, inc_v, 0)  # unwritten slots read as packed 0
+
+    inc_at_px = jnp.take_along_axis(incoming, hh, axis=1)  # (s, TILE)
+    return jnp.where(local_found, local_val, inc_at_px).reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("channels",))
+def encode_core(packed, n_px, header, channels: int):
+    """Encode packed pixels into a QOI byte stream.
+
+    packed:  (Nb,) uint32 RGBA words, Nb % TILE == 0 (padding arbitrary).
+    n_px:    real pixel count (traced scalar), 1 <= n_px <= Nb.
+    header:  (14,) uint8 serialized QOI header.
+    channels: 3 or 4 (static) — RGBA ops are only emitted for 4-channel
+              input (reference: simple.cpp:59-63).
+
+    Returns (out_bytes, total_len): out_bytes is worst-size padded; the
+    stream occupies out_bytes[:total_len].
+    """
+    nb = packed.shape[0]
+    idx = jnp.arange(nb, dtype=jnp.int32)
+    valid = idx < n_px
+
+    prev = jnp.concatenate(
+        [jnp.array([START_PIXEL_PACKED], dtype=jnp.uint32), packed[:-1]]
+    )
+    eq_raw = packed == prev
+    noneq = valid & ~eq_raw
+
+    # ---- run streaks (reference: simple.cpp:39-49) -----------------------
+    # cnt[i] = length of the all-equal streak ending at i.
+    last_noneq = jax.lax.cummax(jnp.where(~(eq_raw | ~valid), idx, -1))
+    cnt = idx - last_noneq
+    hit62 = eq_raw & valid & (cnt % 62 == 0)  # counter reached the run limit
+
+    cnt_prev = jnp.concatenate([jnp.zeros(1, jnp.int32), cnt[:-1]])
+    eq_prev = jnp.concatenate([jnp.zeros(1, bool), eq_raw[:-1]])
+    pend = jnp.where(eq_prev, cnt_prev % 62, 0)  # pending run before pixel i
+    flush = noneq & (pend > 0)
+
+    # ---- op selection (reference: simple.cpp:51-79) ----------------------
+    h = hash6(packed)
+    table_val = _last_same_hash_value(packed, h, noneq)
+    is_index = noneq & (table_val == packed)
+
+    a_cur = unpack_channel(packed, 3)
+    a_prev = unpack_channel(prev, 3)
+    alpha_changed = a_cur != a_prev
+    is_rgba = noneq & ~is_index & alpha_changed if channels == 4 else jnp.zeros(nb, bool)
+
+    dr = to_int8(unpack_channel(packed, 0) - unpack_channel(prev, 0))
+    dg = to_int8(unpack_channel(packed, 1) - unpack_channel(prev, 1))
+    db = to_int8(unpack_channel(packed, 2) - unpack_channel(prev, 2))
+    dr_dg = to_int8((dr - dg).astype(jnp.uint32))
+    db_dg = to_int8((db - dg).astype(jnp.uint32))
+
+    in_diff = (
+        (dr >= -2) & (dr <= 1) & (dg >= -2) & (dg <= 1) & (db >= -2) & (db <= 1)
+    )
+    in_luma = (
+        (dg >= -32)
+        & (dg <= 31)
+        & (dr_dg >= -8)
+        & (dr_dg <= 7)
+        & (db_dg >= -8)
+        & (db_dg <= 7)
+    )
+
+    rest = noneq & ~is_index & ~is_rgba
+    is_diff = rest & in_diff
+    is_luma = rest & ~in_diff & in_luma
+    is_rgb = rest & ~in_diff & ~in_luma
+
+    own_len = jnp.where(
+        is_index,
+        1,
+        jnp.where(
+            is_rgba, 5, jnp.where(is_diff, 1, jnp.where(is_luma, 2, jnp.where(is_rgb, 4, 0)))
+        ),
+    ).astype(jnp.int32)
+
+    # ---- per-pixel byte templates ---------------------------------------
+    r8 = unpack_channel(packed, 0).astype(jnp.uint8)
+    g8 = unpack_channel(packed, 1).astype(jnp.uint8)
+    b8 = unpack_channel(packed, 2).astype(jnp.uint8)
+    a8 = a_cur.astype(jnp.uint8)
+
+    diff_byte = (
+        TAG_DIFF | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2)
+    ).astype(jnp.uint8)
+    luma0 = (TAG_LUMA | (dg + 32)).astype(jnp.uint8)
+    luma1 = (((dr_dg + 8) << 4) | (db_dg + 8)).astype(jnp.uint8)
+    index_byte = (TAG_INDEX | h).astype(jnp.uint8)
+
+    z = jnp.zeros(nb, jnp.uint8)
+    first = jnp.select(
+        [is_index, is_rgba, is_diff, is_luma, is_rgb],
+        [index_byte, jnp.full(nb, TAG_RGBA, jnp.uint8), diff_byte, luma0,
+         jnp.full(nb, TAG_RGB, jnp.uint8)],
+        z,
+    )
+    second = jnp.select([is_rgba, is_luma, is_rgb], [r8, luma1, r8], z)
+    third = jnp.select([is_rgba, is_rgb], [g8, g8], z)
+    fourth = jnp.select([is_rgba, is_rgb], [b8, b8], z)
+    fifth = jnp.where(is_rgba, a8, z)
+    own = jnp.stack([first, second, third, fourth, fifth], axis=1)  # (Nb, 5)
+
+    run_byte = jnp.where(
+        hit62, TAG_RUN | 61, TAG_RUN | ((pend - 1) & 0x3F)
+    ).astype(jnp.uint8)
+    has_run = hit62 | flush
+
+    shifted = jnp.concatenate([run_byte[:, None], own], axis=1)  # run first
+    plain = jnp.concatenate([own, z[:, None]], axis=1)
+    template = jnp.where(has_run[:, None], shifted, plain)  # (Nb, 6)
+
+    nbytes = own_len + has_run.astype(jnp.int32)
+
+    # ---- placement: prefix sum + gather-based materialization ------------
+    offsets = 14 + jnp.cumsum(nbytes) - nbytes  # exclusive
+    chunks_end = 14 + jnp.sum(nbytes)
+
+    w_cap = (channels + 1) * nb + 14 + 8 + 9
+    emit = nbytes > 0
+    scat_idx = jnp.where(emit, offsets, w_cap)  # OOB rows dropped
+    pid0 = (
+        jnp.zeros(w_cap, jnp.int32)
+        .at[scat_idx]
+        .set(idx + 1, mode="drop", indices_are_sorted=True)
+    )
+    pid = jax.lax.cummax(pid0) - 1  # pixel owning each output byte
+    pid_c = jnp.maximum(pid, 0)
+    within = jnp.arange(w_cap, dtype=jnp.int32) - offsets[pid_c]
+    byte = template.reshape(-1)[pid_c * 6 + jnp.clip(within, 0, 5)]
+
+    out = byte.at[:14].set(header)
+
+    # ---- trailing run + end marker (reference: simple.cpp:91-95) ---------
+    last = n_px - 1
+    trailing = jnp.where(eq_raw[last], cnt[last] % 62, 0)
+    has_trail = trailing > 0
+    trail_byte = (TAG_RUN | ((trailing - 1) & 0x3F)).astype(jnp.uint8)
+    marker = jnp.array([0, 0, 0, 0, 0, 0, 0, 1, 0], dtype=jnp.uint8)
+    tail = jnp.where(
+        has_trail,
+        jnp.concatenate([trail_byte[None], marker[:8]]),
+        marker,
+    )
+    out = jax.lax.dynamic_update_slice(out, tail, (chunks_end,))
+
+    total_len = chunks_end + has_trail.astype(jnp.int32) + 8
+    out = jnp.where(jnp.arange(w_cap) < total_len, out, 0)
+    return out, total_len
+
+
+def pad_to_tile(n: int) -> int:
+    return -(-n // TILE) * TILE
+
+
+def bucket_size(n: int) -> int:
+    """Round a pixel count up to a compile-size bucket (limits retraces)."""
+    n = max(n, TILE)
+    b = TILE
+    while b < n:
+        b *= 2
+    # refine: allow 1.25x steps between powers of two to cut padding waste
+    for frac in (b // 2 + b // 8, b // 2 + b // 4, b // 2 + 3 * b // 8, 3 * b // 4, 7 * b // 8):
+        if frac >= n and frac % TILE == 0:
+            return frac
+    return b

@@ -221,7 +221,7 @@ def encode_core(packed, n_px, header, channels: int):
     pid0 = (
         jnp.zeros(w_cap, jnp.int32)
         .at[scat_idx]
-        .set(idx + 1, mode="drop", indices_are_sorted=True)
+        .set(idx + 1, mode="drop")
     )
     pid = jax.lax.cummax(pid0) - 1  # pixel owning each output byte
     pid_c = jnp.maximum(pid, 0)

@@ -19,6 +19,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 import pytest
 
+# Persistent compile cache: the suite compiles many (shape-bucket, op)
+# variants; cache them across runs to keep iteration fast.
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/qoipp_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 FIXTURES = Path(__file__).resolve().parent / "fixtures"
 
 

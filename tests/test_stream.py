@@ -165,9 +165,10 @@ def test_stream_roundtrip_random_sizes():
 
 
 def test_pending_run_across_calls():
-    # A 62-run split across decode calls must persist in state and drain.
-    desc = q.Desc(70, 1, q.Channels.RGB)
-    raw = np.full(210, 9, np.uint8)
+    # A long trailing run must persist in state after input is exhausted
+    # and be emitted via drain_run (stream.hpp:179-194).
+    desc = q.Desc(63, 1, q.Channels.RGB)
+    raw = np.full(189, 9, np.uint8)
     raw[:3] = (1, 2, 3)
     from qoipp_tpu import oracle
 
@@ -188,5 +189,5 @@ def test_pending_run_across_calls():
     while dec.has_run_count():
         n = dec.drain_run(out).value()
         result += out[:n].tobytes()
-    got = np.frombuffer(bytes(result), np.uint8)[:210]
+    got = np.frombuffer(bytes(result), np.uint8)[:189]
     assert np.array_equal(got, raw)

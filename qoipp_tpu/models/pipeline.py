@@ -1,0 +1,164 @@
+"""Batched device-resident codec pipelines — the framework's flagship path.
+
+The reference processes one image per call on one CPU thread (its bench
+iterates a directory serially — 04_bench.cpp:849-871).  The TPU-native
+equivalent batches many images into fixed-shape device arrays and runs the
+parallel codec (ops/) with all lanes fused: decoded RGB/RGBA planes land
+directly in HBM as JAX arrays for vision-pipeline ingest (BASELINE.json
+north star), and encode streams come back as (B, worst_size) byte rows plus
+lengths.
+
+All shapes are static per (desc, caps) so jit caches stay warm across
+batches; per-image variability travels in `sizes` scalars.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..common import Channels, Desc, write_header
+from ..ops import boundary
+from ..ops import decode as dec_ops
+from ..ops import encode as enc_ops
+from ..ops.bitops import pixels_to_packed
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+class BatchPipeline:
+    """Fixed-geometry batched QOI codec for a uniform image shape.
+
+    Parameters
+    ----------
+    desc: image geometry (width/height/channels shared by the batch).
+    max_stream_len: longest QOI stream (bytes) the decode path must accept;
+        defaults to worst_size(desc).
+    chunk_cap: static bound on chunks per image (default: the byte bound).
+        Datasets with known statistics can pass a tighter cap for a shorter
+        replay scan.
+    s_tiles: speculative tiles per image in the decode replay (default:
+        auto — one tile per ~256 chunks, capped at 256).
+    """
+
+    def __init__(
+        self,
+        desc: Desc,
+        max_stream_len: Optional[int] = None,
+        chunk_cap: Optional[int] = None,
+        s_tiles: Optional[int] = None,
+    ):
+        self.desc = desc
+        self.channels = int(desc.channels)
+        self.n_px = desc.width * desc.height
+
+        worst = (self.channels + 1) * self.n_px + 22
+        max_stream_len = max_stream_len or worst
+        self.qb = _round_up(max(max_stream_len - 14, boundary.BLOCK), boundary.BLOCK)
+        self.l_cap = 14 + self.qb + 8  # stream rows carry 8 bytes of slack
+
+        c_cap = chunk_cap or min(self.qb, self.n_px + 8)
+        self.s_tiles = s_tiles or dec_ops._pick_tiles(_round_up(c_cap, 256))
+        self.c_cap = _round_up(c_cap, self.s_tiles)
+        self.n_cap = _round_up(self.n_px, 128)
+
+        self.nb = enc_ops.pad_to_tile(self.n_px)
+        self._header = jnp.asarray(
+            np.frombuffer(write_header(desc), dtype=np.uint8)
+        )
+
+        self._decode = jax.jit(self._decode_impl)
+        self._encode = jax.jit(self._encode_impl)
+
+    # -- decode ------------------------------------------------------------
+
+    def _decode_one(self, stream, size):
+        region = stream[14:]
+        q = jnp.arange(region.shape[0], dtype=jnp.int32)
+        region = jnp.where(q < size - 14, region, 0)  # zero beyond the stream
+        info = boundary.analyze_region(
+            region[: self.qb], size - 22, jnp.int32(self.n_px)
+        )
+        packed, _ = dec_ops.decode_chunks(
+            region,
+            info["real"],
+            info["produced"],
+            info["pix_before"],
+            jnp.int32(self.n_px),
+            c_cap=self.c_cap,
+            s_tiles=self.s_tiles,
+            n_cap=self.n_cap,
+        )
+        return packed
+
+    def _decode_impl(self, streams, sizes):
+        return jax.vmap(self._decode_one)(streams, sizes)
+
+    def decode_packed(self, streams, sizes):
+        """(B, l_cap) u8 streams + (B,) sizes -> (B, n_cap) packed uint32
+        pixels (device-resident; [:, :n_px] are valid)."""
+        return self._decode(streams, sizes)
+
+    def decode(self, streams, sizes, target: Optional[Channels] = None):
+        """-> (B, H, W, C) uint8 device array."""
+        ch = int(target) if target is not None else self.channels
+        packed = self._decode(streams, sizes)[:, : self.n_px]
+        return _unpack_images(packed, self.desc.height, self.desc.width, ch)
+
+    # -- encode ------------------------------------------------------------
+
+    def _encode_one(self, packed_row):
+        return enc_ops.encode_core(
+            packed_row, jnp.int32(self.n_px), self._header, channels=self.channels
+        )
+
+    def _encode_impl(self, packed):
+        return jax.vmap(self._encode_one)(packed)
+
+    def encode_packed(self, packed):
+        """(B, nb) packed uint32 pixels -> ((B, w_cap) u8 streams, (B,)
+        lengths)."""
+        return self._encode(packed)
+
+    def encode(self, raws):
+        """(B, H, W, C) or (B, n_px*C) uint8 -> (streams, lengths)."""
+        raws = jnp.asarray(raws, dtype=jnp.uint8).reshape(raws.shape[0], -1)
+        packed = jax.vmap(lambda r: pixels_to_packed(r, self.channels))(raws)
+        pad = self.nb - self.n_px
+        if pad:
+            packed = jnp.pad(packed, ((0, 0), (0, pad)))
+        return self._encode(packed)
+
+    # -- host conveniences -------------------------------------------------
+
+    def pack_streams(self, blobs) -> Tuple[np.ndarray, np.ndarray]:
+        """List of qoi byte strings/arrays -> ((B, l_cap) u8, (B,) i32)."""
+        b = len(blobs)
+        out = np.zeros((b, self.l_cap), dtype=np.uint8)
+        sizes = np.zeros(b, dtype=np.int32)
+        for i, blob in enumerate(blobs):
+            arr = np.frombuffer(bytes(blob), np.uint8) if not isinstance(
+                blob, np.ndarray
+            ) else blob
+            assert arr.size <= self.l_cap
+            out[i, : arr.size] = arr
+            sizes[i] = arr.size
+        return out, sizes
+
+
+@partial(jax.jit, static_argnames=("height", "width", "channels"))
+def _unpack_images(packed, height: int, width: int, channels: int):
+    chans = [
+        ((packed >> (8 * c)) & 0xFF).astype(jnp.uint8) for c in range(channels)
+    ]
+    if channels == 4:
+        img = jnp.stack(chans, axis=-1)
+    else:
+        img = jnp.stack(chans, axis=-1)
+    return img.reshape(packed.shape[0], height, width, channels)

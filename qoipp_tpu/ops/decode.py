@@ -144,6 +144,53 @@ def _true_init(s_tiles):
     return prev0, seen0
 
 
+def extract_chunks(region, real, produced, pix_before, c_cap: int):
+    """Compact boundary-analysis arrays into dense per-chunk fields.
+
+    Returns dict with cls/val/nmask/arg (replay inputs) and
+    produced/pixoff/valid (expansion inputs), all (c_cap,)."""
+    qb = real.shape[0]
+    q = jnp.arange(qb, dtype=jnp.int32)
+
+    cidx = jnp.cumsum(real.astype(jnp.int32)) - real.astype(jnp.int32)
+    scat = jnp.where(real, cidx, c_cap)
+    pos = jnp.zeros(c_cap, jnp.int32).at[scat].set(q, mode="drop")
+    c_produced = (
+        jnp.zeros(c_cap, jnp.int32).at[scat].set(produced, mode="drop")
+    )
+    c_pixoff = (
+        jnp.zeros(c_cap, jnp.int32).at[scat].set(pix_before, mode="drop")
+    )
+    n_chunks = jnp.sum(real.astype(jnp.int32))
+    valid = jnp.arange(c_cap) < n_chunks
+
+    cls, val, nmask, arg = _classify_chunks(region, pos, valid)
+    return {
+        "cls": cls,
+        "val": val,
+        "nmask": nmask,
+        "arg": arg,
+        "produced": c_produced,
+        "pixoff": c_pixoff,
+        "valid": valid,
+    }
+
+
+def expand_pixels(emits_flat, c_produced, c_pixoff, valid, n_cap: int):
+    """Broadcast per-chunk emitted values to their pixel ranges (RUN chunks
+    cover 1..62 pixels) via scatter + cummax + gather."""
+    c_cap = emits_flat.shape[0]
+    covers = valid & (c_produced > 0) & (c_pixoff < n_cap)
+    mark = (
+        jnp.zeros(n_cap, jnp.int32)
+        .at[jnp.where(covers, c_pixoff, n_cap)]
+        .set(jnp.arange(c_cap, dtype=jnp.int32) + 1, mode="drop")
+    )
+    cover_chunk = jax.lax.cummax(mark) - 1
+    packed = emits_flat[jnp.maximum(cover_chunk, 0)]
+    return jnp.where(cover_chunk >= 0, packed, 0)
+
+
 @partial(jax.jit, static_argnames=("c_cap", "s_tiles", "n_cap"))
 def decode_chunks(region, real, produced, pix_before, n_px,
                   c_cap: int, s_tiles: int, n_cap: int):
@@ -153,29 +200,15 @@ def decode_chunks(region, real, produced, pix_before, n_px,
     real/produced/pix_before: (Qb,) from boundary.analyze_region.
     Returns (packed_pixels (n_cap,) uint32, filled scalar).
     """
-    qb = real.shape[0]
-    q = jnp.arange(qb, dtype=jnp.int32)
     t_len = c_cap // s_tiles
 
-    # -- compact chunks ----------------------------------------------------
-    cidx = jnp.cumsum(real.astype(jnp.int32)) - real.astype(jnp.int32)
-    scat = jnp.where(real, cidx, c_cap)
-    pos = (
-        jnp.zeros(c_cap, jnp.int32)
-        .at[scat].set(q, mode="drop")
+    fields = extract_chunks(region, real, produced, pix_before, c_cap)
+    cls, val, nmask, arg = (
+        fields["cls"], fields["val"], fields["nmask"], fields["arg"]
     )
-    c_produced = (
-        jnp.zeros(c_cap, jnp.int32)
-        .at[scat].set(produced, mode="drop")
+    c_produced, c_pixoff, valid = (
+        fields["produced"], fields["pixoff"], fields["valid"]
     )
-    c_pixoff = (
-        jnp.zeros(c_cap, jnp.int32)
-        .at[scat].set(pix_before, mode="drop")
-    )
-    n_chunks = jnp.sum(real.astype(jnp.int32))
-    valid = jnp.arange(c_cap) < n_chunks
-
-    cls, val, nmask, arg = _classify_chunks(region, pos, valid)
 
     # -- tiled speculative replay with fixpoint reconciliation -------------
     to_tiles = lambda x: x.reshape(s_tiles, t_len).T  # (T, S) scan inputs
@@ -215,17 +248,7 @@ def decode_chunks(region, real, produced, pix_before, n_px,
     _, _, emits = replay(fin_p, fin_s, True)  # (T, S)
     emits_flat = emits.T.reshape(-1)  # chunk order
 
-    # -- expand chunks to pixels ------------------------------------------
-    covers = valid & (c_produced > 0) & (c_pixoff < n_cap)
-    mark = (
-        jnp.zeros(n_cap, jnp.int32)
-        .at[jnp.where(covers, c_pixoff, n_cap)]
-        .set(jnp.arange(c_cap, dtype=jnp.int32) + 1, mode="drop")
-    )
-    cover_chunk = jax.lax.cummax(mark) - 1
-    packed = emits_flat[jnp.maximum(cover_chunk, 0)]
-    packed = jnp.where(cover_chunk >= 0, packed, 0)
-
+    packed = expand_pixels(emits_flat, c_produced, c_pixoff, valid, n_cap)
     filled = jnp.minimum(jnp.sum(c_produced), n_px)
     return packed, filled
 

@@ -4,7 +4,7 @@ mesh so sharding tests run hermetically without TPU hardware (SURVEY.md §4,
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -23,6 +23,9 @@ import pytest
 # variants; cache them across runs to keep iteration fast.
 import jax
 
+# The axon site hook pins JAX_PLATFORMS at interpreter startup; the config
+# update below takes precedence and keeps tests hermetic on CPU.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/qoipp_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -1,0 +1,136 @@
+"""Batched pipeline + mesh-sharded codec tests on the virtual 8-device CPU
+mesh (SURVEY.md §4: fake-mesh testing in lieu of real multi-chip)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qoipp_tpu import Channels, Desc
+from qoipp_tpu import oracle
+from qoipp_tpu.models.pipeline import BatchPipeline
+from qoipp_tpu.ops import boundary, decode as dec_ops
+from qoipp_tpu.parallel import mesh as mesh_mod
+from qoipp_tpu.parallel import sharded
+
+DESC = Desc(48, 32, Channels.RGB)
+
+
+def make_batch(b, desc, seed=0):
+    rng = np.random.default_rng(seed)
+    n = desc.width * desc.height
+    ch = int(desc.channels)
+    raws, blobs = [], []
+    for i in range(b):
+        palette = rng.integers(0, 256, (8, ch)).astype(np.uint8)
+        raw = palette[rng.integers(0, 8, n)].reshape(-1)
+        enc, _ = oracle.encode(raw, desc)
+        raws.append(raw)
+        blobs.append(enc)
+    return raws, blobs
+
+
+def test_batch_pipeline_decode():
+    pipe = BatchPipeline(DESC)
+    raws, blobs = make_batch(8, DESC)
+    streams, sizes = pipe.pack_streams(blobs)
+    imgs = np.asarray(pipe.decode(jnp.asarray(streams), jnp.asarray(sizes)))
+    for i in range(8):
+        assert np.array_equal(imgs[i].reshape(-1), raws[i]), f"image {i}"
+
+
+def test_batch_pipeline_encode():
+    pipe = BatchPipeline(DESC)
+    raws, blobs = make_batch(4, DESC, seed=1)
+    arr = jnp.asarray(np.stack([r for r in raws]))
+    streams, lengths = pipe.encode(arr)
+    streams, lengths = np.asarray(streams), np.asarray(lengths)
+    for i in range(4):
+        assert lengths[i] == blobs[i].size
+        assert np.array_equal(streams[i, : lengths[i]], blobs[i]), f"image {i}"
+
+
+def test_batch_roundtrip_device_resident():
+    pipe = BatchPipeline(DESC)
+    raws, blobs = make_batch(8, DESC, seed=2)
+    streams, sizes = pipe.pack_streams(blobs)
+    packed = pipe.decode_packed(jnp.asarray(streams), jnp.asarray(sizes))
+    enc_streams, lengths = pipe.encode_packed(
+        jnp.pad(packed[:, : pipe.n_px], ((0, 0), (0, pipe.nb - pipe.n_px)))
+    )
+    enc_streams, lengths = np.asarray(enc_streams), np.asarray(lengths)
+    for i in range(8):
+        assert np.array_equal(enc_streams[i, : lengths[i]], blobs[i])
+
+
+def test_dp_sharded_decode():
+    m = mesh_mod.make_mesh((8, 1))
+    pipe = BatchPipeline(DESC)
+    raws, blobs = make_batch(16, DESC, seed=3)
+    streams, sizes = pipe.pack_streams(blobs)
+    dp_decode = sharded.make_dp_decode(pipe, m)
+    packed, checksum = dp_decode(jnp.asarray(streams), jnp.asarray(sizes))
+    packed = np.asarray(packed)
+    from qoipp_tpu.ops.bitops import packed_to_pixels
+
+    for i in range(16):
+        raw = np.asarray(packed_to_pixels(jnp.asarray(packed[i, : pipe.n_px]), 3))
+        assert np.array_equal(raw, raws[i]), f"image {i}"
+    assert int(checksum) == int(np.sum(packed.astype(np.uint64)) % (2**32))
+
+
+def test_dp_sharded_encode():
+    m = mesh_mod.make_mesh((8, 1))
+    pipe = BatchPipeline(DESC)
+    raws, blobs = make_batch(8, DESC, seed=4)
+    from qoipp_tpu.ops.bitops import pixels_to_packed
+
+    packed = jnp.stack(
+        [
+            jnp.pad(pixels_to_packed(jnp.asarray(r), 3), (0, pipe.nb - pipe.n_px))
+            for r in raws
+        ]
+    )
+    dp_encode = sharded.make_dp_encode(pipe, m)
+    streams, lengths = dp_encode(packed)
+    streams, lengths = np.asarray(streams), np.asarray(lengths)
+    for i in range(8):
+        assert np.array_equal(streams[i, : lengths[i]], blobs[i])
+
+
+def test_sp_sharded_decode():
+    # One image's chunk stream sharded over the seq axis; ppermute carries
+    # the seam state; result must be bit-exact.
+    m = mesh_mod.make_mesh((1, 8))
+    desc = Desc(256, 16, Channels.RGB)
+    rng = np.random.default_rng(5)
+    palette = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    raw = palette[rng.integers(0, 16, 256 * 16)].reshape(-1)
+    enc, _ = oracle.encode(raw, desc)
+
+    n_px = desc.width * desc.height
+    qb = dec_ops._bucket(enc.size - 14, boundary.BLOCK)
+    region = np.zeros(qb + 8, np.uint8)
+    region[: enc.size - 14] = enc[14:]
+    region_j = jnp.asarray(region)
+    info = boundary.analyze_region(
+        region_j[:qb], jnp.int32(enc.size - 22), jnp.int32(n_px)
+    )
+
+    c_cap = 8 * 4 * 64  # n_dev * tiles_per_device * t_len
+    while c_cap < int(info["total_chunks"]):
+        c_cap *= 2
+    fields = jax.jit(dec_ops.extract_chunks, static_argnames=("c_cap",))(
+        region_j, info["real"], info["produced"], info["pix_before"], c_cap=c_cap
+    )
+    sp = sharded.make_sp_decode(m, c_cap, tiles_per_device=4, n_cap=n_px)
+    emits = sp(fields["cls"], fields["val"], fields["nmask"], fields["arg"])
+
+    n_cap = dec_ops._bucket(n_px, 128)
+    packed = dec_ops.expand_pixels(
+        emits, fields["produced"], fields["pixoff"], fields["valid"], n_cap
+    )
+    from qoipp_tpu.ops.bitops import packed_to_pixels
+
+    got = np.asarray(packed_to_pixels(packed[:n_px], 3))
+    assert np.array_equal(got, raw)

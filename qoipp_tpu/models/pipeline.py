@@ -39,19 +39,15 @@ class BatchPipeline:
     ----------
     desc: image geometry (width/height/channels shared by the batch).
     max_stream_len: longest QOI stream (bytes) the decode path must accept;
-        defaults to worst_size(desc).
-    chunk_cap: static bound on chunks per image (default: the byte bound).
-        Datasets with known statistics can pass a tighter cap for a shorter
-        replay scan.
+        defaults to worst_size(desc).  Tighter bounds shorten the replay.
     s_tiles: speculative tiles per image in the decode replay (default:
-        auto — one tile per ~256 chunks, capped at 256).
+        auto — one tile per ~1KiB of stream, capped at 512).
     """
 
     def __init__(
         self,
         desc: Desc,
         max_stream_len: Optional[int] = None,
-        chunk_cap: Optional[int] = None,
         s_tiles: Optional[int] = None,
     ):
         self.desc = desc
@@ -63,9 +59,8 @@ class BatchPipeline:
         self.qb = _round_up(max(max_stream_len - 14, boundary.BLOCK), boundary.BLOCK)
         self.l_cap = 14 + self.qb + 8  # stream rows carry 8 bytes of slack
 
-        c_cap = chunk_cap or min(self.qb, self.n_px + 8)
-        self.s_tiles = s_tiles or dec_ops._pick_tiles(_round_up(c_cap, 256))
-        self.c_cap = _round_up(c_cap, self.s_tiles)
+        self.s_tiles = s_tiles or dec_ops.pick_tiles(self.qb)
+        assert self.qb % self.s_tiles == 0
         self.n_cap = _round_up(self.n_px, 128)
 
         self.nb = enc_ops.pad_to_tile(self.n_px)
@@ -85,13 +80,12 @@ class BatchPipeline:
         info = boundary.analyze_region(
             region[: self.qb], size - 22, jnp.int32(self.n_px)
         )
-        packed, _ = dec_ops.decode_chunks(
+        packed, _ = dec_ops.decode_bytes(
             region,
             info["real"],
             info["produced"],
             info["pix_before"],
             jnp.int32(self.n_px),
-            c_cap=self.c_cap,
             s_tiles=self.s_tiles,
             n_cap=self.n_cap,
         )
@@ -157,8 +151,5 @@ def _unpack_images(packed, height: int, width: int, channels: int):
     chans = [
         ((packed >> (8 * c)) & 0xFF).astype(jnp.uint8) for c in range(channels)
     ]
-    if channels == 4:
-        img = jnp.stack(chans, axis=-1)
-    else:
-        img = jnp.stack(chans, axis=-1)
+    img = jnp.stack(chans, axis=-1)
     return img.reshape(packed.shape[0], height, width, channels)

@@ -1,29 +1,33 @@
 """TPU-native parallel QOI decoder.
 
-Two-pass pipeline (SURVEY.md §7 design stance):
+Three-pass, gather-free pipeline (SURVEY.md §7 design stance, tuned to the
+measured TPU reality that random gather/scatter runs ~10ns/element while
+dense VPU ops and *sorted* scatter-adds run at full vector speed):
 
 1. *Boundary pass* (ops/boundary.py): tag-length classification + the
    5-phase composed scan locate every chunk start, its pixel output offset
-   (prefix sum over per-chunk pixel counts, RUN = (tag&63)+1), and the
-   reference's tolerant loop bound — all exactly, fully parallel.
+   (prefix sum over per-chunk pixel counts), and the reference's tolerant
+   loop bound — exact and fully parallel.
 
-2. *Reconstruction pass* (this module): chunks are compacted, split into S
-   tiles, and replayed by a T-step lax.scan vectorized across tiles (the
-   carry is the packed codec state: prev pixel + 64-entry table, SURVEY.md
-   §5 "checkpoint" note).  Tiles 1..S-1 start from a *speculative* carry; a
-   fixpoint loop feeds each tile its predecessor's out-state and re-replays
-   until in-states equal predecessor out-states, which by induction from
-   tile 0's true initial state proves every tile exact (bit-exact, no
-   probabilistic reconciliation).  Convergence takes <= S rounds and in
-   practice few: a tile's out-state depends on its in-state only through
-   table slots it never overwrites.
+2. *Replay pass*: chunk fields (class / payload / delta / index-arg) are
+   computed densely at EVERY byte position via shifted slices (no
+   compaction, no gathers — non-start positions become NOPs).  The byte
+   range splits into S tiles replayed by a T-step lax.scan vectorized
+   across tiles; the carry is the packed codec state (prev pixel + 64-entry
+   table + written masks).  Tiles start from speculative carries; each
+   fixpoint round replays all tiles, then propagates carries across ALL
+   tiles at once with an exclusive associative overwrite-scan of per-tile
+   transfer summaries (out-state + written masks) — so pass-through table
+   slots cross many tiles per round, not one.  Convergence (in-states ==
+   propagated predecessor out-states) is checked each round; by induction
+   from tile 0's true initial state any fixpoint is bit-exact.
 
-3. *Expansion*: per-chunk emitted values are broadcast to pixels with a
-   scatter(one-hot)+cummax+gather — RUN chunks cost O(1) state work
-   regardless of their 1..62 pixel payout.
+3. *Expansion*: emitted values scatter-add at their pixel offsets (indices
+   are sorted — XLA's fast path), then a fill-forward associative scan
+   broadcasts each chunk's value across its RUN range.
 
-The sequential depth is T = chunks/S scan steps instead of one step per
-pixel (reference: source/simple.cpp:111-170).
+Sequential depth: T = bytes/S scan steps x (rounds+1), instead of one step
+per pixel in the reference (source/simple.cpp:111-170).
 """
 
 from __future__ import annotations
@@ -49,39 +53,34 @@ NOP, SET, ADD, INDEX, RUN = 0, 1, 2, 3, 4
 _START_HASH = (11 * 255) % 64  # hash of the start pixel (0,0,0,255) = 53
 
 
-def _classify_chunks(region, pos, valid):
-    """Gather per-chunk fields from chunk start positions.
+def classify_dense(region, qb: int, real):
+    """Per-byte-position chunk fields via shifted slices — no gathers.
 
-    region: (Qb + 8,) uint8 (8 bytes of zero slack for operand gathers).
-    pos:    (C_cap,) int32 chunk start offsets into region.
-    valid:  (C_cap,) bool — False rows become NOP.
-
-    Returns cls, val, nmask, arg — all (C_cap,).
+    region: (qb + 8,) uint8; real: (qb,) bool (non-starts become NOP).
+    Returns cls, val, nmask, arg — all (qb,):
       SET:   new = (prev & nmask) | val   (RGB keeps prev alpha)
       ADD:   new = prev +_swar val        (DIFF/LUMA deltas, alpha delta 0)
       INDEX: new = seen[arg]
       RUN:   new = prev, no state update
     """
-    tag = region[pos].astype(jnp.int32)
-    b1 = region[pos + 1].astype(jnp.uint32)
-    b2 = region[pos + 2].astype(jnp.uint32)
-    b3 = region[pos + 3].astype(jnp.uint32)
-    b4 = region[pos + 4].astype(jnp.uint32)
+    tag = region[:qb].astype(jnp.int32)
+    b1 = region[1 : qb + 1].astype(jnp.uint32)
+    b2 = region[2 : qb + 2].astype(jnp.uint32)
+    b3 = region[3 : qb + 3].astype(jnp.uint32)
+    b4 = region[4 : qb + 4].astype(jnp.uint32)
 
     is_rgb = tag == 0xFE
     is_rgba = tag == 0xFF
     top = tag & 0xC0
-    is_index = (~is_rgb) & (~is_rgba) & (top == 0x00)
-    is_diff = (~is_rgb) & (~is_rgba) & (top == 0x40)
-    is_luma = (~is_rgb) & (~is_rgba) & (top == 0x80)
-    is_run = (~is_rgb) & (~is_rgba) & (top == 0xC0)
+    named = is_rgb | is_rgba
+    is_index = (~named) & (top == 0x00)
+    is_diff = (~named) & (top == 0x40)
+    is_luma = (~named) & (top == 0x80)
 
     cls = jnp.where(
-        is_rgb | is_rgba,
-        SET,
-        jnp.where(is_diff | is_luma, ADD, jnp.where(is_index, INDEX, RUN)),
+        named, SET, jnp.where(is_diff | is_luma, ADD, jnp.where(is_index, INDEX, RUN))
     )
-    cls = jnp.where(valid, cls, NOP).astype(jnp.int32)
+    cls = jnp.where(real, cls, NOP).astype(jnp.int32)
 
     # SET value/mask: RGBA replaces all four bytes, RGB keeps prev alpha
     # (reference: simple.cpp:119-129 — curr starts as prev).
@@ -89,32 +88,27 @@ def _classify_chunks(region, pos, valid):
     nmask = jnp.where(is_rgba, jnp.uint32(0), jnp.uint32(0xFF000000))
 
     # ADD deltas, per-byte mod 256 (reference: simple.cpp:137-155).
-    t32 = tag
-    dr_d = (((t32 >> 4) & 3) - 2) & 0xFF
-    dg_d = (((t32 >> 2) & 3) - 2) & 0xFF
-    db_d = ((t32 & 3) - 2) & 0xFF
-    diff_delta = (
-        dr_d.astype(jnp.uint32)
-        | (dg_d.astype(jnp.uint32) << 8)
-        | (db_d.astype(jnp.uint32) << 16)
-    )
-    vg = (t32 & 0x3F) - 32
-    lr = (vg + ((b1.astype(jnp.int32) >> 4) & 0xF) - 8) & 0xFF
-    lg = vg & 0xFF
-    lb = (vg + (b1.astype(jnp.int32) & 0xF) - 8) & 0xFF
-    luma_delta = (
-        lr.astype(jnp.uint32)
-        | (lg.astype(jnp.uint32) << 8)
-        | (lb.astype(jnp.uint32) << 16)
-    )
+    dr_d = ((((tag >> 4) & 3) - 2) & 0xFF).astype(jnp.uint32)
+    dg_d = ((((tag >> 2) & 3) - 2) & 0xFF).astype(jnp.uint32)
+    db_d = (((tag & 3) - 2) & 0xFF).astype(jnp.uint32)
+    diff_delta = dr_d | (dg_d << 8) | (db_d << 16)
+
+    vg = (tag & 0x3F) - 32
+    lr = (((vg + ((b1.astype(jnp.int32) >> 4) & 0xF) - 8) & 0xFF)).astype(jnp.uint32)
+    lg = (vg & 0xFF).astype(jnp.uint32)
+    lb = (((vg + (b1.astype(jnp.int32) & 0xF) - 8) & 0xFF)).astype(jnp.uint32)
+    luma_delta = lr | (lg << 8) | (lb << 16)
 
     val = jnp.where(is_diff, diff_delta, jnp.where(is_luma, luma_delta, set_val))
-    arg = jnp.where(is_index, t32 & 0x3F, 0).astype(jnp.int32)
+    arg = jnp.where(is_index, tag & 0x3F, 0).astype(jnp.int32)
     return cls, val.astype(jnp.uint32), nmask, arg
 
 
 def _replay_step(carry, xs):
-    prev, seen = carry  # (S,), (S, 64) packed uint32
+    """One chunk step across all tile lanes.  Carry also tracks which state
+    components each tile has overwritten (for transfer-summary
+    propagation)."""
+    prev, seen, pupd, swr = carry  # (S,), (S,64), (S,), (S,64)
     cls, val, nmask, arg = xs
 
     idx_val = jnp.take_along_axis(seen, arg[:, None], axis=1)[:, 0]
@@ -132,125 +126,133 @@ def _replay_step(carry, xs):
     slots = jnp.arange(64, dtype=jnp.int32)
     hot = (slots[None, :] == h[:, None]) & upd[:, None]
     seen2 = jnp.where(hot, v[:, None], seen)
-    return (prev2, seen2), v
+    # ys: the emitted value AND the pre-step prev (= previous chunk's emit,
+    # since RUN emits prev) — expansion reconstructs pixels from their
+    # difference via a telescoping cumsum.
+    return (prev2, seen2, pupd | upd, swr | hot), (v, prev)
 
 
-def _true_init(s_tiles):
-    prev0 = jnp.full((s_tiles,), START_PIXEL_PACKED, dtype=jnp.uint32)
-    seen0 = jnp.zeros((s_tiles, 64), dtype=jnp.uint32)
-    # Decoder quirk: the running array is seeded with the start pixel
-    # (reference: simple.cpp:108, stream.cpp:306).
-    seen0 = seen0.at[:, _START_HASH].set(START_PIXEL_PACKED)
+def _true_init_row():
+    """The decoder's initial state: prev = start pixel; table zero except the
+    seeded slot (reference quirk: simple.cpp:108, stream.cpp:306)."""
+    prev0 = jnp.uint32(START_PIXEL_PACKED)
+    seen0 = (
+        jnp.zeros(64, jnp.uint32).at[_START_HASH].set(START_PIXEL_PACKED)
+    )
     return prev0, seen0
 
 
-def extract_chunks(region, real, produced, pix_before, c_cap: int):
-    """Compact boundary-analysis arrays into dense per-chunk fields.
+def _propagate(out_p, out_s, out_pu, out_sw, base_p=None, base_s=None):
+    """Exclusive associative overwrite-scan of per-tile transfer summaries:
+    returns the bit-exact in-state each tile should have started from,
+    assuming the summaries are exact (the fixpoint loop verifies that).
+    base_p/base_s: the state entering tile 0 (default: codec initial
+    state); pass-through slots read from it."""
+    def comb(a, b):
+        ap, apu, as_, asw = a
+        bp, bpu, bs, bsw = b
+        return (
+            jnp.where(bpu, bp, ap),
+            apu | bpu,
+            jnp.where(bsw, bs, as_),
+            asw | bsw,
+        )
 
-    Returns dict with cls/val/nmask/arg (replay inputs) and
-    produced/pixoff/valid (expansion inputs), all (c_cap,)."""
-    qb = real.shape[0]
-    q = jnp.arange(qb, dtype=jnp.int32)
-
-    cidx = jnp.cumsum(real.astype(jnp.int32)) - real.astype(jnp.int32)
-    scat = jnp.where(real, cidx, c_cap)
-    pos = jnp.zeros(c_cap, jnp.int32).at[scat].set(q, mode="drop")
-    c_produced = (
-        jnp.zeros(c_cap, jnp.int32).at[scat].set(produced, mode="drop")
+    sp_, spu, ss, ssw = jax.lax.associative_scan(
+        comb, (out_p, out_pu, out_s, out_sw), axis=0
     )
-    c_pixoff = (
-        jnp.zeros(c_cap, jnp.int32).at[scat].set(pix_before, mode="drop")
-    )
-    n_chunks = jnp.sum(real.astype(jnp.int32))
-    valid = jnp.arange(c_cap) < n_chunks
+    # shift to exclusive (identity = "wrote nothing")
+    z1 = jnp.zeros((1,), jnp.uint32)
+    zb1 = jnp.zeros((1,), bool)
+    z64 = jnp.zeros((1, 64), jnp.uint32)
+    zb64 = jnp.zeros((1, 64), bool)
+    ep = jnp.concatenate([z1, sp_[:-1]])
+    epu = jnp.concatenate([zb1, spu[:-1]])
+    es = jnp.concatenate([z64, ss[:-1]])
+    esw = jnp.concatenate([zb64, ssw[:-1]])
 
-    cls, val, nmask, arg = _classify_chunks(region, pos, valid)
-    return {
-        "cls": cls,
-        "val": val,
-        "nmask": nmask,
-        "arg": arg,
-        "produced": c_produced,
-        "pixoff": c_pixoff,
-        "valid": valid,
-    }
-
-
-def expand_pixels(emits_flat, c_produced, c_pixoff, valid, n_cap: int):
-    """Broadcast per-chunk emitted values to their pixel ranges (RUN chunks
-    cover 1..62 pixels) via scatter + cummax + gather."""
-    c_cap = emits_flat.shape[0]
-    covers = valid & (c_produced > 0) & (c_pixoff < n_cap)
-    mark = (
-        jnp.zeros(n_cap, jnp.int32)
-        .at[jnp.where(covers, c_pixoff, n_cap)]
-        .set(jnp.arange(c_cap, dtype=jnp.int32) + 1, mode="drop")
-    )
-    cover_chunk = jax.lax.cummax(mark) - 1
-    packed = emits_flat[jnp.maximum(cover_chunk, 0)]
-    return jnp.where(cover_chunk >= 0, packed, 0)
+    if base_p is None:
+        base_p, base_s = _true_init_row()
+        base_s = base_s[None, :]
+    in_p = jnp.where(epu, ep, base_p)
+    in_s = jnp.where(esw, es, base_s)
+    return in_p, in_s
 
 
-@partial(jax.jit, static_argnames=("c_cap", "s_tiles", "n_cap"))
-def decode_chunks(region, real, produced, pix_before, n_px,
-                  c_cap: int, s_tiles: int, n_cap: int):
-    """Reconstruct pixels from boundary analysis.
+@partial(jax.jit, static_argnames=("s_tiles", "n_cap"))
+def decode_bytes(region, real, produced, pix_before, n_px,
+                 s_tiles: int, n_cap: int):
+    """Reconstruct pixels from boundary analysis, byte-domain.
 
-    region:   (Qb + 8,) uint8.
-    real/produced/pix_before: (Qb,) from boundary.analyze_region.
+    region: (qb + 8,) uint8; real/produced/pix_before: (qb,) from
+    boundary.analyze_region; qb % s_tiles == 0.
     Returns (packed_pixels (n_cap,) uint32, filled scalar).
     """
-    t_len = c_cap // s_tiles
+    qb = real.shape[0]
+    t_len = qb // s_tiles
 
-    fields = extract_chunks(region, real, produced, pix_before, c_cap)
-    cls, val, nmask, arg = (
-        fields["cls"], fields["val"], fields["nmask"], fields["arg"]
-    )
-    c_produced, c_pixoff, valid = (
-        fields["produced"], fields["pixoff"], fields["valid"]
-    )
-
-    # -- tiled speculative replay with fixpoint reconciliation -------------
-    to_tiles = lambda x: x.reshape(s_tiles, t_len).T  # (T, S) scan inputs
+    cls, val, nmask, arg = classify_dense(region, qb, real)
+    to_tiles = lambda x: x.reshape(s_tiles, t_len).T  # (T, S)
     xs = (to_tiles(cls), to_tiles(val), to_tiles(nmask), to_tiles(arg))
 
-    prev_true, seen_true = _true_init(1)
+    prev0, seen0 = _true_init_row()
 
-    def replay(in_prev, in_seen, with_emits):
-        (p, s), emits = jax.lax.scan(_replay_step, (in_prev, in_seen), xs)
-        return (p, s, emits) if with_emits else (p, s)
-
-    def want_of(out_p, out_s):
-        want_p = jnp.concatenate([prev_true, out_p[:-1]])
-        want_s = jnp.concatenate([seen_true, out_s[:-1]])
-        return want_p, want_s
+    def replay(in_p, in_s):
+        zero_pu = jnp.zeros((s_tiles,), bool)
+        zero_sw = jnp.zeros((s_tiles, 64), bool)
+        (p, s, pu, sw), ys = jax.lax.scan(
+            _replay_step, (in_p, in_s, zero_pu, zero_sw), xs
+        )
+        return p, s, pu, sw, ys
 
     def cond(st):
         _, _, done, it = st
-        return (~done) & (it < s_tiles + 1)
+        return (~done) & (it < s_tiles + 2)
 
     def body(st):
         in_p, in_s, _, it = st
-        out_p, out_s = replay(in_p, in_s, False)
-        want_p, want_s = want_of(out_p, out_s)
+        out_p, out_s, out_pu, out_sw, _ = replay(in_p, in_s)
+        want_p, want_s = _propagate(out_p, out_s, out_pu, out_sw)
         done = jnp.all(want_p == in_p) & jnp.all(want_s == in_s)
         return want_p, want_s, done, it + 1
 
-    init_p = jnp.concatenate(
-        [prev_true, jnp.full((s_tiles - 1,), START_PIXEL_PACKED, jnp.uint32)]
-    )
-    init_s = jnp.concatenate(
-        [seen_true, jnp.zeros((s_tiles - 1, 64), jnp.uint32)]
+    init_p = jnp.full((s_tiles,), START_PIXEL_PACKED, jnp.uint32)
+    init_s = jnp.where(
+        (jnp.arange(s_tiles) == 0)[:, None], seen0[None, :],
+        jnp.zeros((s_tiles, 64), jnp.uint32),
     )
     fin_p, fin_s, _, _ = jax.lax.while_loop(
         cond, body, (init_p, init_s, jnp.array(False), jnp.int32(0))
     )
-    _, _, emits = replay(fin_p, fin_s, True)  # (T, S)
-    emits_flat = emits.T.reshape(-1)  # chunk order
+    _, _, _, _, (emits, prevs) = replay(fin_p, fin_s)  # (T, S) each
+    emits_q = emits.T.reshape(-1)  # byte order
+    prevs_q = prevs.T.reshape(-1)
 
-    packed = expand_pixels(emits_flat, c_produced, c_pixoff, valid, n_cap)
-    filled = jnp.minimum(jnp.sum(c_produced), n_px)
+    packed = expand_pixels(emits_q, prevs_q, real, produced, pix_before, n_cap)
+    filled = jnp.minimum(jnp.sum(produced), n_px)
     return packed, filled
+
+
+def expand_pixels(emits_q, prevs_q, real, produced, pix_before, n_cap: int):
+    """Broadcast per-chunk emitted values onto pixels.
+
+    Each chunk contributes delta = emit - prev_emit (uint32 wraparound) at
+    its pixel offset; a mod-2^32 cumsum telescopes back to the absolute
+    values, and pixels inside RUN ranges (no chunk start -> delta 0)
+    naturally repeat the previous value.  pix_before is nondecreasing over
+    byte positions, so the single scatter-add hits XLA's sorted fast path;
+    cumsum is a native primitive — no gathers, no O(n) associative_scan
+    graphs.
+    """
+    covers = real & (produced > 0) & (pix_before < n_cap)
+    idx = jnp.minimum(pix_before, n_cap)  # keeps monotonicity; slot n_cap = bin
+    delta = emits_q - prevs_q  # uint32 wrap; telescopes from START
+    vals = jnp.where(covers, delta, 0)
+    out0 = (
+        jnp.zeros(n_cap + 1, jnp.uint32)
+        .at[idx].add(vals, indices_are_sorted=True)[:n_cap]
+    )
+    return jnp.cumsum(out0) + START_PIXEL_PACKED
 
 
 # --------------------------------------------------------------------------
@@ -269,12 +271,13 @@ def _bucket(n: int, lo: int = 128) -> int:
     return b
 
 
-def _pick_tiles(c_cap: int) -> int:
-    # one tile per 256 chunks, clamped; power of two dividing c_cap
+def pick_tiles(qb: int) -> int:
+    """Tile count for the replay: one tile per ~1KiB of stream, capped so
+    the (S, 64) state stays comfortably in VMEM; must divide qb."""
     s = 1
-    while s < 256 and s * 256 < c_cap:
+    while s < 512 and s * 1024 < qb:
         s *= 2
-    while c_cap % s:
+    while qb % s:
         s //= 2
     return max(s, 1)
 
@@ -295,28 +298,23 @@ def decode_single(data, desc: Desc, dst_channels: Channels) -> np.ndarray:
         info = boundary.analyze_region(
             reg_j[:qb], jnp.int32(chunks_size), jnp.int32(n_px)
         )
-        return reg_j, info
+        return reg_j, info, qb
 
-    region, info = run_analysis(0)
+    region, info, qb = run_analysis(0)
     total_px = int(info["total_pixels"])
     if total_px < n_px:
         # Tolerant path: zero-fill reads continue producing chunks until the
         # pixel count is satisfied; widen the analysis window to cover them.
-        region, info = run_analysis(n_px - total_px + 8)
+        region, info, qb = run_analysis(n_px - total_px + 8)
 
-    n_chunks = int(info["total_chunks"])
-    c_cap = _bucket(max(n_chunks, 1), 128)
-    s_tiles = _pick_tiles(c_cap)
     n_cap = _bucket(n_px, 128)
-
-    packed, _ = decode_chunks(
+    packed, _ = decode_bytes(
         region,
         info["real"],
         info["produced"],
         info["pix_before"],
         jnp.int32(n_px),
-        c_cap=c_cap,
-        s_tiles=s_tiles,
+        s_tiles=pick_tiles(qb),
         n_cap=n_cap,
     )
     raw = packed_to_pixels(packed[:n_px], int(dst_channels))

@@ -211,24 +211,21 @@ def encode_core(packed, n_px, header, channels: int):
 
     nbytes = own_len + has_run.astype(jnp.int32)
 
-    # ---- placement: prefix sum + gather-based materialization ------------
+    # ---- placement: prefix sum + sorted scatter-add materialization ------
+    # Each pixel's k-th byte lands at offsets[i]+k.  For fixed k the index
+    # stream is nondecreasing (offsets are), and every output byte has
+    # exactly one unmasked contributor (masked rows add 0), so the six
+    # scatter-adds all hit XLA's sorted fast path — no serial gathers.
     offsets = 14 + jnp.cumsum(nbytes) - nbytes  # exclusive
     chunks_end = 14 + jnp.sum(nbytes)
 
     w_cap = (channels + 1) * nb + 14 + 8 + 9
-    emit = nbytes > 0
-    scat_idx = jnp.where(emit, offsets, w_cap)  # OOB rows dropped
-    pid0 = (
-        jnp.zeros(w_cap, jnp.int32)
-        .at[scat_idx]
-        .set(idx + 1, mode="drop")
-    )
-    pid = jax.lax.cummax(pid0) - 1  # pixel owning each output byte
-    pid_c = jnp.maximum(pid, 0)
-    within = jnp.arange(w_cap, dtype=jnp.int32) - offsets[pid_c]
-    byte = template.reshape(-1)[pid_c * 6 + jnp.clip(within, 0, 5)]
-
-    out = byte.at[:14].set(header)
+    out = jnp.zeros(w_cap + 1, jnp.uint8)
+    for k in range(6):
+        contrib = jnp.where(k < nbytes, template[:, k], 0)
+        idx_k = jnp.minimum(offsets + k, w_cap)
+        out = out.at[idx_k].add(contrib, indices_are_sorted=True)
+    out = out[:w_cap].at[:14].set(header)
 
     # ---- trailing run + end marker (reference: simple.cpp:91-95) ---------
     last = n_px - 1

@@ -70,72 +70,83 @@ def make_dp_encode(pipeline, mesh: Mesh, axis: str = "data"):
 # --------------------------------------------------------------------------
 
 
-def make_sp_decode(mesh: Mesh, c_cap: int, tiles_per_device: int,
-                   n_cap: int, axis: str = "seq"):
-    """Build a sequence-parallel chunk replay: chunk field arrays of length
-    c_cap are sharded over `axis`; returns per-chunk emitted pixel values
-    (sharded the same way) bit-exact with the sequential decode.
+def make_sp_decode(mesh: Mesh, qb: int, tiles_per_device: int,
+                   axis: str = "seq"):
+    """Build a sequence-parallel byte-domain chunk replay: the dense chunk
+    field arrays of length qb (from ops.decode.classify_dense) are sharded
+    over `axis`; returns per-byte-position emitted pixel values (sharded the
+    same way), bit-exact with the sequential decode.
 
-    c_cap must divide evenly: c_cap = n_devices * tiles_per_device * t_len.
+    Each fixpoint round: local tile replay, then within-device transfer-
+    summary propagation seeded by the left neighbor's last-tile out-state
+    (exchanged via lax.ppermute over ICI).  Convergence crosses one device
+    per round worst-case, all tiles per round within a device.
+
+    qb must divide evenly: qb = n_devices * tiles_per_device * t_len.
     """
     n_dev = mesh.shape[axis]
-    assert c_cap % (n_dev * tiles_per_device) == 0
-    t_len = c_cap // (n_dev * tiles_per_device)
+    assert qb % (n_dev * tiles_per_device) == 0
+    t_len = qb // (n_dev * tiles_per_device)
     s_local = tiles_per_device
 
     spec = P(axis)
     _step = dec_ops._replay_step
 
     def local_replay(in_p, in_s, xs):
-        (p, s), emits = jax.lax.scan(_step, (in_p, in_s), xs)
-        return p, s, emits
+        zero_pu = jnp.zeros((s_local,), bool)
+        zero_sw = jnp.zeros((s_local, 64), bool)
+        (p, s, pu, sw), ys = jax.lax.scan(
+            _step, (in_p, in_s, zero_pu, zero_sw), xs
+        )
+        return p, s, pu, sw, ys
 
     def sp_body(cls, val, nmask, arg):
-        # local shapes: (c_local,) with c_local = s_local * t_len
+        # local shapes: (q_local,) with q_local = s_local * t_len
         my = jax.lax.axis_index(axis)
         to_tiles = lambda x: x.reshape(s_local, t_len).T
         xs = (to_tiles(cls), to_tiles(val), to_tiles(nmask), to_tiles(arg))
 
-        prev_true, seen_true = dec_ops._true_init(1)
+        prev0, seen0 = dec_ops._true_init_row()
 
         def round_fn(state):
             in_p, in_s, _, it = state
-            out_p, out_s, _ = local_replay(in_p, in_s, xs)
-            # carry of my last tile -> right neighbor's first tile
+            out_p, out_s, out_pu, out_sw, _ = local_replay(in_p, in_s, xs)
+            # my last tile's out-state -> right neighbor's base state
             perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
             nbr_p = jax.lax.ppermute(out_p[-1:], axis, perm)
             nbr_s = jax.lax.ppermute(out_s[-1:], axis, perm)
-            first_p = jnp.where(my == 0, prev_true, nbr_p)
-            first_s = jnp.where(my == 0, seen_true, nbr_s)
-            want_p = jnp.concatenate([first_p, out_p[:-1]])
-            want_s = jnp.concatenate([first_s, out_s[:-1]])
+            base_p = jnp.where(my == 0, prev0, nbr_p[0])
+            base_s = jnp.where(my == 0, seen0[None, :], nbr_s)
+            want_p, want_s = dec_ops._propagate(
+                out_p, out_s, out_pu, out_sw, base_p, base_s
+            )
             local_match = jnp.all(want_p == in_p) & jnp.all(want_s == in_s)
             all_match = jax.lax.pmin(local_match.astype(jnp.int32), axis)
             return want_p, want_s, all_match > 0, it + 1
 
         def cond(state):
             _, _, done, it = state
-            return (~done) & (it < n_dev * s_local + 1)
+            return (~done) & (it < n_dev * s_local + 2)
 
         # Speculative init: START everywhere (== the true prev for tile 0);
         # only the globally-first tile gets the seeded table.
         is_first = (jnp.arange(s_local) + my * s_local) == 0
         init_p = jnp.full((s_local,), START_PIXEL_PACKED, jnp.uint32)
         init_s = jnp.where(
-            is_first[:, None], seen_true, jnp.zeros((s_local, 64), jnp.uint32)
+            is_first[:, None], seen0[None, :], jnp.zeros((s_local, 64), jnp.uint32)
         )
 
         fin_p, fin_s, _, _ = jax.lax.while_loop(
             cond, round_fn, (init_p, init_s, jnp.array(False), jnp.int32(0))
         )
-        _, _, emits = local_replay(fin_p, fin_s, xs)  # (t_len, s_local)
-        return emits.T.reshape(-1)
+        _, _, _, _, (emits, prevs) = local_replay(fin_p, fin_s, xs)
+        return emits.T.reshape(-1), prevs.T.reshape(-1)
 
     sharded = shard_map(
         sp_body,
         mesh=mesh,
         in_specs=(spec, spec, spec, spec),
-        out_specs=spec,
+        out_specs=(spec, spec),
         check_vma=False,
     )
     return jax.jit(sharded)

@@ -110,6 +110,8 @@ def test_sp_sharded_decode():
 
     n_px = desc.width * desc.height
     qb = dec_ops._bucket(enc.size - 14, boundary.BLOCK)
+    while qb % (8 * 4) != 0:
+        qb += boundary.BLOCK
     region = np.zeros(qb + 8, np.uint8)
     region[: enc.size - 14] = enc[14:]
     region_j = jnp.asarray(region)
@@ -117,18 +119,15 @@ def test_sp_sharded_decode():
         region_j[:qb], jnp.int32(enc.size - 22), jnp.int32(n_px)
     )
 
-    c_cap = 8 * 4 * 64  # n_dev * tiles_per_device * t_len
-    while c_cap < int(info["total_chunks"]):
-        c_cap *= 2
-    fields = jax.jit(dec_ops.extract_chunks, static_argnames=("c_cap",))(
-        region_j, info["real"], info["produced"], info["pix_before"], c_cap=c_cap
-    )
-    sp = sharded.make_sp_decode(m, c_cap, tiles_per_device=4, n_cap=n_px)
-    emits = sp(fields["cls"], fields["val"], fields["nmask"], fields["arg"])
+    cls, val, nmask, arg = jax.jit(
+        dec_ops.classify_dense, static_argnames=("qb",)
+    )(region_j, qb, info["real"])
+    sp = sharded.make_sp_decode(m, qb, tiles_per_device=4)
+    emits, prevs = sp(cls, val, nmask, arg)
 
     n_cap = dec_ops._bucket(n_px, 128)
     packed = dec_ops.expand_pixels(
-        emits, fields["produced"], fields["pixoff"], fields["valid"], n_cap
+        emits, prevs, info["real"], info["produced"], info["pix_before"], n_cap
     )
     from qoipp_tpu.ops.bitops import packed_to_pixels
 

@@ -62,6 +62,8 @@ class BatchPipeline:
         self.s_tiles = s_tiles or dec_ops.pick_tiles(self.qb)
         assert self.qb % self.s_tiles == 0
         self.n_cap = _round_up(self.n_px, 128)
+        # replay-kernel step bound: chunks <= stream bytes AND <= pixels
+        self.c_cap = _round_up(min(self.qb, self.n_px + 64), 512)
 
         self.nb = enc_ops.pad_to_tile(self.n_px)
         self._header = jnp.asarray(
@@ -73,36 +75,50 @@ class BatchPipeline:
 
     # -- decode ------------------------------------------------------------
 
-    def _decode_one(self, stream, size):
+    def _prep_one(self, stream, size):
         region = stream[14:]
         q = jnp.arange(region.shape[0], dtype=jnp.int32)
         region = jnp.where(q < size - 14, region, 0)  # zero beyond the stream
         info = boundary.analyze_region(
             region[: self.qb], size - 22, jnp.int32(self.n_px)
         )
-        packed, _ = dec_ops.decode_bytes(
-            region,
-            info["real"],
-            info["produced"],
-            info["pix_before"],
-            jnp.int32(self.n_px),
-            s_tiles=self.s_tiles,
-            n_cap=self.n_cap,
+        return dec_ops.compact_fields(
+            region, info["real"], info["produced"], info["pix_before"],
+            self.c_cap,
         )
-        return packed
 
     def _decode_impl(self, streams, sizes):
-        return jax.vmap(self._decode_one)(streams, sizes)
+        from ..ops import replay_kernel as rk
+
+        meta, val, produced_c, pixoff_c = jax.vmap(self._prep_one)(
+            streams, sizes
+        )  # (B, c_cap)
+        b = meta.shape[0]
+        pad = (-b) % 8
+        meta_t = jnp.pad(meta, ((0, pad), (0, 0))).T  # (c_cap, B')
+        val_t = jnp.pad(val, ((0, pad), (0, 0))).T
+        emits = rk.replay_batch(meta_t, val_t).T[:b]  # (B, c_cap)
+        packed = jax.vmap(
+            lambda e, p, o: dec_ops.expand_compact(e, p, o, self.n_cap)
+        )(emits, produced_c, pixoff_c)
+        crafted = jnp.zeros(b, bool)  # the kernel path is exact for all input
+        return packed, crafted
 
     def decode_packed(self, streams, sizes):
         """(B, l_cap) u8 streams + (B,) sizes -> (B, n_cap) packed uint32
         pixels (device-resident; [:, :n_px] are valid)."""
+        packed, _ = self._decode(streams, sizes)
+        return packed
+
+    def decode_packed_checked(self, streams, sizes):
+        """Like decode_packed but also returns the per-image crafted-stream
+        flags (True -> decode that image with the sequential oracle)."""
         return self._decode(streams, sizes)
 
     def decode(self, streams, sizes, target: Optional[Channels] = None):
         """-> (B, H, W, C) uint8 device array."""
         ch = int(target) if target is not None else self.channels
-        packed = self._decode(streams, sizes)[:, : self.n_px]
+        packed = self.decode_packed(streams, sizes)[:, : self.n_px]
         return _unpack_images(packed, self.desc.height, self.desc.width, ch)
 
     # -- encode ------------------------------------------------------------

@@ -256,6 +256,73 @@ def expand_pixels(emits_q, prevs_q, real, produced, pix_before, n_cap: int):
 
 
 # --------------------------------------------------------------------------
+# Chunk compaction for the Pallas replay kernel (ops/replay_kernel.py)
+# --------------------------------------------------------------------------
+
+
+def compact_fields(region, real, produced, pix_before, c_cap: int):
+    """Compact per-byte-position chunk info into dense per-chunk arrays in
+    the kernel's (meta, val) encoding, via sorted scatter-adds (cidx is
+    nondecreasing over byte positions, non-chunks contribute zero).
+
+    Returns meta, val, produced_c, pixoff_c — all (c_cap,).
+    """
+    from . import replay_kernel as rk
+    from . import wave as wave_ops
+
+    qb = real.shape[0]
+    kind, (r_abs, g_abs, b_abs, a_abs), (dr, dg, db), arg = (
+        wave_ops.classify_kinds(region, qb, real)
+    )
+    # wave kinds already match the kernel's cls numbering (NOP..RUN = 0..5)
+    meta_q = (kind | (arg << 3)).astype(jnp.uint32)
+    is_seta = kind == wave_ops.SETA
+    is_setc = kind == wave_ops.SETC
+    val_q = jnp.where(
+        is_seta,
+        r_abs | (g_abs << 8) | (b_abs << 16) | (a_abs << 24),
+        jnp.where(
+            is_setc,
+            r_abs | (g_abs << 8) | (b_abs << 16),
+            dr | (dg << 8) | (db << 16),
+        ),
+    ).astype(jnp.uint32)
+
+    r32 = real.astype(jnp.uint32)
+    cidx = jnp.minimum(jnp.cumsum(r32) - r32, c_cap).astype(jnp.int32)
+
+    def compact(x):
+        return (
+            jnp.zeros(c_cap + 1, jnp.uint32)
+            .at[cidx].add(jnp.where(real, x.astype(jnp.uint32), 0),
+                          indices_are_sorted=True)[:c_cap]
+        )
+
+    meta = compact(meta_q)
+    val = compact(val_q)
+    produced_c = compact(produced).astype(jnp.int32)
+    pixoff_c = compact(pix_before).astype(jnp.int32)
+    return meta, val, produced_c, pixoff_c
+
+
+def expand_compact(emits, produced_c, pixoff_c, n_cap: int):
+    """Chunk-domain pixel expansion: same telescoping-delta trick as
+    expand_pixels, with prev values obtained by shifting the emit row
+    (padding rows emit the running prev, so the shift is exact)."""
+    prevv = jnp.concatenate(
+        [jnp.array([START_PIXEL_PACKED], jnp.uint32), emits[:-1]]
+    )
+    covers = (produced_c > 0) & (pixoff_c < n_cap)
+    idx = jnp.where(covers, jnp.minimum(pixoff_c, n_cap), n_cap)
+    delta = jnp.where(covers, emits - prevv, 0)
+    out0 = (
+        jnp.zeros(n_cap + 1, jnp.uint32)
+        .at[idx].add(delta, indices_are_sorted=True)[:n_cap]
+    )
+    return jnp.cumsum(out0) + START_PIXEL_PACKED
+
+
+# --------------------------------------------------------------------------
 # Host-facing single-image wrapper
 # --------------------------------------------------------------------------
 
@@ -282,9 +349,29 @@ def pick_tiles(qb: int) -> int:
     return max(s, 1)
 
 
+@partial(jax.jit, static_argnames=("c_cap", "n_cap", "lanes"))
+def _decode_region_kernel(region, real, produced, pix_before,
+                          c_cap: int, n_cap: int, lanes: int = 8):
+    """Single-stream decode through the Pallas replay kernel (padded to
+    `lanes` batch lanes for layout friendliness)."""
+    from . import replay_kernel as rk
+
+    meta, val, produced_c, pixoff_c = compact_fields(
+        region, real, produced, pix_before, c_cap
+    )
+    meta_b = jnp.broadcast_to(meta[:, None], (c_cap, lanes))
+    val_b = jnp.broadcast_to(val[:, None], (c_cap, lanes))
+    emits = rk.replay_batch(meta_b, val_b)[:, 0]
+    return expand_compact(emits, produced_c, pixoff_c, n_cap)
+
+
 def decode_single(data, desc: Desc, dst_channels: Channels) -> np.ndarray:
     """Decode one QOI stream -> raw bytes, bit-exact incl. the reference's
-    tolerant truncated-input behavior (simple.cpp:106-113)."""
+    tolerant truncated-input behavior (simple.cpp:106-113).
+
+    Runs the Pallas replay kernel, which models the chunk state machine
+    literally and is exact for every stream (no well-formedness caveats).
+    """
     data = np.asarray(data, dtype=np.uint8).reshape(-1)
     size = int(data.size)
     n_px = desc.width * desc.height
@@ -308,13 +395,14 @@ def decode_single(data, desc: Desc, dst_channels: Channels) -> np.ndarray:
         region, info, qb = run_analysis(n_px - total_px + 8)
 
     n_cap = _bucket(n_px, 128)
-    packed, _ = decode_bytes(
+    n_chunks = int(info["total_chunks"])
+    c_cap = _bucket(max(n_chunks, 512), 512)
+    packed = _decode_region_kernel(
         region,
         info["real"],
         info["produced"],
         info["pix_before"],
-        jnp.int32(n_px),
-        s_tiles=pick_tiles(qb),
+        c_cap=c_cap,
         n_cap=n_cap,
     )
     raw = packed_to_pixels(packed[:n_px], int(dst_channels))

@@ -44,7 +44,7 @@ def make_dp_decode(pipeline, mesh: Mesh, axis: str = "data"):
         out_shardings=(batch_sharding, NamedSharding(mesh, P())),
     )
     def dp_decode(streams, sizes):
-        packed = pipeline._decode_impl(streams, sizes)
+        packed, _ = pipeline._decode_impl(streams, sizes)
         checksum = jnp.sum(packed.astype(jnp.uint32))
         return packed, checksum
 

@@ -68,7 +68,7 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {dev}")
 
-    B, W, H = 8, 1920, 1088
+    B, W, H = 64, 1920, 1088
     desc, raws, blobs = make_corpus(B, W, H)
     n_px = W * H
     total_px = B * n_px
@@ -79,7 +79,7 @@ def main():
     for blob in blobs[:1]:
         oracle.decode(blob, desc, desc.channels)  # warm
     t0 = time.perf_counter()
-    runs_base = 3
+    runs_base = 2
     for _ in range(runs_base):
         for blob in blobs:
             oracle.decode(blob, desc, desc.channels)
@@ -90,7 +90,7 @@ def main():
     # ---- device: batched parallel decode ---------------------------------
     max_len = max(stream_sizes)
     pipe = BatchPipeline(desc, max_stream_len=max_len)
-    log(f"pipeline: qb={pipe.qb} s_tiles={pipe.s_tiles} T={pipe.qb//pipe.s_tiles}")
+    log(f"pipeline: qb={pipe.qb} c_cap={pipe.c_cap} (replay steps)")
 
     streams_np, sizes_np = pipe.pack_streams(blobs)
     streams = jax.device_put(jnp.asarray(streams_np), dev)
@@ -153,7 +153,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "batched QOI decode, 8x1920x1088 RGB synthetic corpus, single chip",
+                "metric": f"batched QOI decode, {B}x{W}x{H} RGB synthetic corpus, single chip",
                 "value": round(value, 1),
                 "unit": "MPix/s",
                 "vs_baseline": round(value / base_mpix, 2) if base_mpix else 0,

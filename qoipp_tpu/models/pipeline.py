@@ -75,32 +75,31 @@ class BatchPipeline:
 
     # -- decode ------------------------------------------------------------
 
-    def _prep_one(self, stream, size):
+    def _analyze_one(self, stream, size):
         region = stream[14:]
         q = jnp.arange(region.shape[0], dtype=jnp.int32)
         region = jnp.where(q < size - 14, region, 0)  # zero beyond the stream
         info = boundary.analyze_region(
             region[: self.qb], size - 22, jnp.int32(self.n_px)
         )
-        return dec_ops.compact_fields(
-            region, info["real"], info["produced"], info["pix_before"],
-            self.c_cap,
-        )
+        return region, info["real"], info["produced"], info["pix_before"]
 
     def _decode_impl(self, streams, sizes):
         from ..ops import replay_kernel as rk
 
-        meta, val, produced_c, pixoff_c = jax.vmap(self._prep_one)(
+        regions, real, produced, pix_before = jax.vmap(self._analyze_one)(
             streams, sizes
-        )  # (B, c_cap)
+        )
+        meta, val = dec_ops.fields_dense_batch(regions, real)  # (B, qb)
         b = meta.shape[0]
-        pad = (-b) % 8
-        meta_t = jnp.pad(meta, ((0, pad), (0, 0))).T  # (c_cap, B')
-        val_t = jnp.pad(val, ((0, pad), (0, 0))).T
-        emits = rk.replay_batch(meta_t, val_t).T[:b]  # (B, c_cap)
-        packed = jax.vmap(
-            lambda e, p, o: dec_ops.expand_compact(e, p, o, self.n_cap)
-        )(emits, produced_c, pixoff_c)
+        bpad = (-b) % 8
+        qpad = (-self.qb) % 512  # kernel slab multiple; NOP rows
+        meta_t = jnp.pad(meta, ((0, bpad), (0, qpad))).T  # (qb', B')
+        val_t = jnp.pad(val, ((0, bpad), (0, qpad))).T
+        emits = rk.replay_batch(meta_t, val_t).T[:b, : self.qb]  # (B, qb)
+        packed = dec_ops.expand_bytes_batch(
+            emits, real, produced, pix_before, self.n_cap
+        )
         crafted = jnp.zeros(b, bool)  # the kernel path is exact for all input
         return packed, crafted
 
@@ -123,13 +122,10 @@ class BatchPipeline:
 
     # -- encode ------------------------------------------------------------
 
-    def _encode_one(self, packed_row):
-        return enc_ops.encode_core(
-            packed_row, jnp.int32(self.n_px), self._header, channels=self.channels
-        )
-
     def _encode_impl(self, packed):
-        return jax.vmap(self._encode_one)(packed)
+        return enc_ops.encode_batch(
+            packed, jnp.int32(self.n_px), self._header, channels=self.channels
+        )
 
     def encode_packed(self, packed):
         """(B, nb) packed uint32 pixels -> ((B, w_cap) u8 streams, (B,)

@@ -305,6 +305,121 @@ def compact_fields(region, real, produced, pix_before, c_cap: int):
     return meta, val, produced_c, pixoff_c
 
 
+def fields_dense_batch(regions, real):
+    """Byte-domain (uncompacted) kernel fields for a batch: every byte
+    position carries its (meta, val); non-chunk positions are NOPs.  No
+    scatters at all — for compressed streams the chunk count is close to
+    the byte count, so replaying NOP rows is cheaper than compacting
+    through XLA's serial scatter path."""
+    from . import wave as wave_ops
+
+    b, qb = real.shape
+    kind, (r_abs, g_abs, b_abs, a_abs), (dr, dg, db), arg = jax.vmap(
+        lambda reg, re: wave_ops.classify_kinds(reg, qb, re)
+    )(regions, real)
+    meta = (kind | (arg << 3)).astype(jnp.uint32)
+    is_seta = kind == wave_ops.SETA
+    is_setc = kind == wave_ops.SETC
+    val = jnp.where(
+        is_seta,
+        r_abs | (g_abs << 8) | (b_abs << 16) | (a_abs << 24),
+        jnp.where(
+            is_setc,
+            r_abs | (g_abs << 8) | (b_abs << 16),
+            dr | (dg << 8) | (db << 16),
+        ),
+    ).astype(jnp.uint32)
+    return meta, val
+
+
+def expand_bytes_batch(emits, real, produced, pix_before, n_cap: int):
+    """Byte-domain batched expansion: telescoping-delta + flat globally
+    sorted scatter-add + per-row cumsum.  emits: (B, qb) from the replay
+    kernel (NOP rows emit the running prev, so the shift below is exact)."""
+    b, qb = emits.shape
+    prevv = jnp.concatenate(
+        [jnp.full((b, 1), START_PIXEL_PACKED, jnp.uint32), emits[:, :-1]],
+        axis=1,
+    )
+    covers = real & (produced > 0) & (pix_before < n_cap)
+    # pix_before is nondecreasing over ALL byte positions (including
+    # non-chunks), so using it directly keeps the scatter indices truly
+    # sorted; non-covered rows just add zero.
+    idx = jnp.minimum(pix_before, n_cap)
+    delta = jnp.where(covers, emits - prevv, 0)
+    row = n_cap + 1
+    flat = (jnp.arange(b, dtype=jnp.int32) * row)[:, None] + idx
+    out0 = (
+        jnp.zeros(b * row, jnp.uint32)
+        .at[flat.reshape(-1)].add(delta.reshape(-1), indices_are_sorted=True)
+        .reshape(b, row)[:, :n_cap]
+    )
+    return jnp.cumsum(out0, axis=1) + START_PIXEL_PACKED
+
+
+def compact_fields_batch(regions, real, produced, pix_before, c_cap: int):
+    """Batched compact_fields.  Batching a scatter under vmap drops XLA's
+    sorted fast path, so the per-image scatters are lifted into one flat
+    row-major index space (globally sorted).  All (B, ...) shaped."""
+    from . import wave as wave_ops
+
+    b, qb = real.shape
+    kind, (r_abs, g_abs, b_abs, a_abs), (dr, dg, db), arg = jax.vmap(
+        lambda reg, re: wave_ops.classify_kinds(reg, qb, re)
+    )(regions, real)
+    meta_q = (kind | (arg << 3)).astype(jnp.uint32)
+    is_seta = kind == wave_ops.SETA
+    is_setc = kind == wave_ops.SETC
+    val_q = jnp.where(
+        is_seta,
+        r_abs | (g_abs << 8) | (b_abs << 16) | (a_abs << 24),
+        jnp.where(
+            is_setc,
+            r_abs | (g_abs << 8) | (b_abs << 16),
+            dr | (dg << 8) | (db << 16),
+        ),
+    ).astype(jnp.uint32)
+
+    r32 = real.astype(jnp.uint32)
+    cidx = jnp.minimum(jnp.cumsum(r32, axis=1) - r32, c_cap).astype(jnp.int32)
+    row = c_cap + 1
+    flat = (jnp.arange(b, dtype=jnp.int32) * row)[:, None] + cidx
+
+    def compact(x):
+        vals = jnp.where(real, x.astype(jnp.uint32), 0).reshape(-1)
+        return (
+            jnp.zeros(b * row, jnp.uint32)
+            .at[flat.reshape(-1)].add(vals, indices_are_sorted=True)
+            .reshape(b, row)[:, :c_cap]
+        )
+
+    meta = compact(meta_q)
+    val = compact(val_q)
+    produced_c = compact(produced).astype(jnp.int32)
+    pixoff_c = compact(pix_before).astype(jnp.int32)
+    return meta, val, produced_c, pixoff_c
+
+
+def expand_compact_batch(emits, produced_c, pixoff_c, n_cap: int):
+    """Batched expand_compact with one flat globally-sorted scatter-add."""
+    b, c_cap = emits.shape
+    prevv = jnp.concatenate(
+        [jnp.full((b, 1), START_PIXEL_PACKED, jnp.uint32), emits[:, :-1]],
+        axis=1,
+    )
+    covers = (produced_c > 0) & (pixoff_c < n_cap)
+    idx = jnp.where(covers, jnp.minimum(pixoff_c, n_cap), n_cap)
+    delta = jnp.where(covers, emits - prevv, 0)
+    row = n_cap + 1
+    flat = (jnp.arange(b, dtype=jnp.int32) * row)[:, None] + idx
+    out0 = (
+        jnp.zeros(b * row, jnp.uint32)
+        .at[flat.reshape(-1)].add(delta.reshape(-1), indices_are_sorted=True)
+        .reshape(b, row)[:, :n_cap]
+    )
+    return jnp.cumsum(out0, axis=1) + START_PIXEL_PACKED
+
+
 def expand_compact(emits, produced_c, pixoff_c, n_cap: int):
     """Chunk-domain pixel expansion: same telescoping-delta trick as
     expand_pixels, with prev values obtained by shifting the emit row
@@ -349,20 +464,26 @@ def pick_tiles(qb: int) -> int:
     return max(s, 1)
 
 
-@partial(jax.jit, static_argnames=("c_cap", "n_cap", "lanes"))
+@partial(jax.jit, static_argnames=("n_cap", "lanes"))
 def _decode_region_kernel(region, real, produced, pix_before,
-                          c_cap: int, n_cap: int, lanes: int = 8):
+                          n_cap: int, lanes: int = 8):
     """Single-stream decode through the Pallas replay kernel (padded to
-    `lanes` batch lanes for layout friendliness)."""
+    `lanes` batch lanes for layout friendliness), byte-domain."""
     from . import replay_kernel as rk
 
-    meta, val, produced_c, pixoff_c = compact_fields(
-        region, real, produced, pix_before, c_cap
+    qb = real.shape[0]
+    meta, val = fields_dense_batch(region[None], real[None])
+    qpad = (-qb) % 512
+    meta_b = jnp.broadcast_to(
+        jnp.pad(meta, ((0, 0), (0, qpad)))[0][:, None], (qb + qpad, lanes)
     )
-    meta_b = jnp.broadcast_to(meta[:, None], (c_cap, lanes))
-    val_b = jnp.broadcast_to(val[:, None], (c_cap, lanes))
-    emits = rk.replay_batch(meta_b, val_b)[:, 0]
-    return expand_compact(emits, produced_c, pixoff_c, n_cap)
+    val_b = jnp.broadcast_to(
+        jnp.pad(val, ((0, 0), (0, qpad)))[0][:, None], (qb + qpad, lanes)
+    )
+    emits = rk.replay_batch(meta_b, val_b)[:qb, 0]
+    return expand_bytes_batch(
+        emits[None], real[None], produced[None], pix_before[None], n_cap
+    )[0]
 
 
 def decode_single(data, desc: Desc, dst_channels: Channels) -> np.ndarray:
@@ -395,14 +516,11 @@ def decode_single(data, desc: Desc, dst_channels: Channels) -> np.ndarray:
         region, info, qb = run_analysis(n_px - total_px + 8)
 
     n_cap = _bucket(n_px, 128)
-    n_chunks = int(info["total_chunks"])
-    c_cap = _bucket(max(n_chunks, 512), 512)
     packed = _decode_region_kernel(
         region,
         info["real"],
         info["produced"],
         info["pix_before"],
-        c_cap=c_cap,
         n_cap=n_cap,
     )
     raw = packed_to_pixels(packed[:n_px], int(dst_channels))

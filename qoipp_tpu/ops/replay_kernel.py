@@ -76,7 +76,11 @@ def _replay_kernel(meta_ref, val_ref, emit_ref, prev_scr, seen_scr):
         seen = seen_scr[:]  # (64, b)
 
         hot_r = slots == arg  # (64, b), arg broadcast over sublanes
-        idx_val = jnp.sum(jnp.where(hot_r, seen, 0), axis=0, keepdims=True)
+        # one-hot "gather": exactly one addend per lane, so a signed sum
+        # is bit-exact (Mosaic lacks unsigned reductions)
+        idx_val = jnp.sum(
+            jnp.where(hot_r, seen, 0).astype(jnp.int32), axis=0, keepdims=True
+        ).astype(jnp.uint32)
 
         set_val = jnp.where(cls == CLS_SETC, (prev & jnp.uint32(0xFF000000)) | val, val)
         add_val = _swar_add(prev, val)

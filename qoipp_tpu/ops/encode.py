@@ -51,10 +51,11 @@ TAG_LUMA = 0x80
 TAG_RUN = 0xC0
 
 
-def _last_same_hash_value(packed, h, noneq):
+def _last_same_hash_value(packed, h, noneq, incoming=None):
     """For each position i: packed value of the most recent j < i with
-    noneq[j] and h[j] == h[i]; packed 0 (the zero-initialized table entry)
-    when no such j exists.
+    noneq[j] and h[j] == h[i]; falls back to `incoming` (the carried
+    64-entry table for windowed encoding; default: the zero-initialized
+    table) when no such j exists.
 
     packed/h/noneq: (Nb,) with Nb % TILE == 0.
     """
@@ -91,16 +92,24 @@ def _last_same_hash_value(packed, h, noneq):
         return jnp.where(bw, bv, av), aw | bw
 
     sv, sw = jax.lax.associative_scan(combine, (t_val, t_written), axis=0)
-    inc_v = jnp.concatenate([jnp.zeros((1, 64), sv.dtype), sv[:-1]], axis=0)
-    inc_w = jnp.concatenate([jnp.zeros((1, 64), bool), sw[:-1]], axis=0)
-    incoming = jnp.where(inc_w, inc_v, 0)  # unwritten slots read as packed 0
+    if incoming is None:
+        incoming = jnp.zeros(64, jnp.uint32)  # fresh table reads as packed 0
+    inc_v = jnp.concatenate([incoming[None, :], sv[:-1]], axis=0)
+    inc_w = jnp.concatenate([jnp.ones((1, 64), bool), sw[:-1]], axis=0)
+    incoming = jnp.where(inc_w, inc_v, incoming[None, :])
 
     inc_at_px = jnp.take_along_axis(incoming, hh, axis=1)  # (s, TILE)
     return jnp.where(local_found, local_val, inc_at_px).reshape(-1)
 
 
-def _encode_fields(packed, n_px, channels: int):
+def _encode_fields(packed, n_px, channels: int,
+                   carry_prev=None, carry_run=None, carry_seen=None):
     """Per-pixel op selection + byte templates (vmap-safe: no scatters).
+
+    Optional carried state (windowed streaming encode): carry_prev = prev
+    pixel entering the window, carry_run = pending run counter (0..61),
+    carry_seen = (64,) table entering the window.  Defaults reproduce the
+    start-of-image state.
 
     Returns (template (Nb,6) u8, nbytes (Nb,) i32, tail (9,) u8,
     has_trail bool) — everything emission needs.
@@ -109,26 +118,33 @@ def _encode_fields(packed, n_px, channels: int):
     idx = jnp.arange(nb, dtype=jnp.int32)
     valid = idx < n_px
 
-    prev = jnp.concatenate(
-        [jnp.array([START_PIXEL_PACKED], dtype=jnp.uint32), packed[:-1]]
-    )
+    if carry_prev is None:
+        carry_prev = jnp.uint32(START_PIXEL_PACKED)
+    if carry_run is None:
+        carry_run = jnp.uint32(0)
+    run0 = carry_run.astype(jnp.int32)
+
+    prev = jnp.concatenate([carry_prev[None].astype(jnp.uint32), packed[:-1]])
     eq_raw = packed == prev
     noneq = valid & ~eq_raw
 
     # ---- run streaks (reference: simple.cpp:39-49) -----------------------
-    # cnt[i] = length of the all-equal streak ending at i.
-    last_noneq = jax.lax.cummax(jnp.where(~(eq_raw | ~valid), idx, -1))
+    # cnt[i] = run-counter value after pixel i; a carried run extends the
+    # streak virtually before position 0.
+    last_noneq = jax.lax.cummax(
+        jnp.where(~(eq_raw | ~valid), idx, -(run0 + 1))
+    )
     cnt = idx - last_noneq
     hit62 = eq_raw & valid & (cnt % 62 == 0)  # counter reached the run limit
 
-    cnt_prev = jnp.concatenate([jnp.zeros(1, jnp.int32), cnt[:-1]])
-    eq_prev = jnp.concatenate([jnp.zeros(1, bool), eq_raw[:-1]])
+    cnt_prev = jnp.concatenate([run0[None], cnt[:-1]])
+    eq_prev = jnp.concatenate([(run0 > 0)[None], eq_raw[:-1]])
     pend = jnp.where(eq_prev, cnt_prev % 62, 0)  # pending run before pixel i
     flush = noneq & (pend > 0)
 
     # ---- op selection (reference: simple.cpp:51-79) ----------------------
     h = hash6(packed)
-    table_val = _last_same_hash_value(packed, h, noneq)
+    table_val = _last_same_hash_value(packed, h, noneq, incoming=carry_seen)
     is_index = noneq & (table_val == packed)
 
     a_cur = unpack_channel(packed, 3)

@@ -50,19 +50,17 @@ def _hash6(v):
     return (r * 3 + g * 5 + b * 7 + a * 11) & 63
 
 
-def _replay_kernel(meta_ref, val_ref, emit_ref, prev_scr, seen_scr):
+def _replay_kernel(prev_in_ref, seen_in_ref, meta_ref, val_ref,
+                   emit_ref, prev_out_ref, seen_out_ref, prev_scr, seen_scr):
     slab = pl.program_id(0)
     slab_t = meta_ref.shape[0]
     b = meta_ref.shape[1]
+    n_slabs = pl.num_programs(0)
 
     @pl.when(slab == 0)
     def _init():
-        prev_scr[:] = jnp.full((1, b), START_PIXEL_PACKED, jnp.uint32)
-        seen = jnp.zeros((64, b), jnp.uint32)
-        slots0 = jax.lax.broadcasted_iota(jnp.int32, (64, b), 0)
-        seen_scr[:] = jnp.where(
-            slots0 == _START_HASH, jnp.uint32(START_PIXEL_PACKED), seen
-        )
+        prev_scr[:] = prev_in_ref[:]
+        seen_scr[:] = seen_in_ref[:]
 
     slots = jax.lax.broadcasted_iota(jnp.int32, (64, b), 0)
 
@@ -105,28 +103,72 @@ def _replay_kernel(meta_ref, val_ref, emit_ref, prev_scr, seen_scr):
 
     jax.lax.fori_loop(0, slab_t, step, 0)
 
+    @pl.when(slab == n_slabs - 1)
+    def _finish():
+        prev_out_ref[:] = prev_scr[:]
+        seen_out_ref[:] = seen_scr[:]
+
+
+def initial_state(b: int):
+    """The decoder's initial carry: prev = start pixel; table zero except
+    the seeded slot (reference quirk: simple.cpp:108, stream.cpp:306)."""
+    prev0 = jnp.full((1, b), START_PIXEL_PACKED, jnp.uint32)
+    slots0 = jax.lax.broadcasted_iota(jnp.int32, (64, b), 0)
+    seen0 = jnp.where(
+        slots0 == _START_HASH,
+        jnp.uint32(START_PIXEL_PACKED),
+        jnp.zeros((64, b), jnp.uint32),
+    )
+    return prev0, seen0
+
 
 @partial(jax.jit, static_argnames=("slab",))
-def replay_batch(meta, val, slab: int = 512):
-    """meta/val: (C_cap, B) uint32 chunk fields (chunk-major).  Returns
-    emits (C_cap, B) uint32 — the value each chunk produces (RUN repeats it).
+def replay_batch_carry(meta, val, prev_in, seen_in, slab: int = 512):
+    """Carried-state replay: decode a window of chunk rows starting from an
+    explicit (prev, seen) state — the ~260-byte codec carry of SURVEY.md §5
+    — and return the state after the window (the device streaming-decode
+    primitive).
+
+    meta/val: (C_cap, B) uint32; prev_in: (1, B); seen_in: (64, B).
+    Returns (emits (C_cap, B), prev_out (1, B), seen_out (64, B)).
     """
     c_cap, b = meta.shape
     assert c_cap % slab == 0
     grid = (c_cap // slab,)
 
+    whole = lambda i: (0, 0)
     return pl.pallas_call(
         _replay_kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec((1, b), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, b), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((slab, b), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((slab, b), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((slab, b), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((c_cap, b), jnp.uint32),
+        out_specs=[
+            pl.BlockSpec((slab, b), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, b), whole, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((c_cap, b), jnp.uint32),
+            jax.ShapeDtypeStruct((1, b), jnp.uint32),
+            jax.ShapeDtypeStruct((64, b), jnp.uint32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((1, b), jnp.uint32),
             pltpu.VMEM((64, b), jnp.uint32),
         ],
         interpret=jax.default_backend() != "tpu",
-    )(meta, val)
+    )(prev_in, seen_in, meta, val)
+
+
+def replay_batch(meta, val, slab: int = 512):
+    """meta/val: (C_cap, B) uint32 chunk fields (chunk-major).  Returns
+    emits (C_cap, B) uint32 — the value each chunk produces (RUN repeats it).
+    """
+    b = meta.shape[1]
+    prev0, seen0 = initial_state(b)
+    emits, _, _ = replay_batch_carry(meta, val, prev0, seen0, slab=slab)
+    return emits

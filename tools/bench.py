@@ -1,0 +1,247 @@
+#!/usr/bin/env python
+"""Multi-codec QOI benchmark CLI.
+
+Mirrors the reference's 04_bench example (example/source/04_bench.cpp):
+per-image + summary tables of encode/decode ms, MPix/s, encoded size and
+compression ratio; cross-verification against the oracle before timing
+(04_bench.cpp:685-731); 1 cold + warmup + N timed runs averaged
+(04_bench.cpp:733-754); per-codec toggles and --no-verify/--only-totals
+flags (04_bench.cpp:121-137).
+
+Codecs benchmarked:
+  native     the framework's C++ CPU oracle (reference-equivalent)
+  jax        one-shot device codec (qoipp_tpu encode/decode backend=jax)
+  jax-batch  batched device pipeline (all images in one device program)
+  stream     native streaming codec driven with a 64 KiB buffer
+
+Corpus: a directory of .qoi (and .png, if Pillow is present) files, or a
+generated synthetic corpus with --synthetic N.
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import qoipp_tpu as q
+from qoipp_tpu import oracle
+
+
+def load_corpus(args):
+    images = []  # (name, raw, desc)
+    if args.synthetic:
+        rng = np.random.default_rng(0)
+        for i in range(args.synthetic):
+            w, h = args.width, args.height
+            base = rng.integers(0, 256, (24, 3)).astype(np.uint8)
+            ids = rng.integers(0, 24, w * h)
+            ids = np.maximum.accumulate(
+                np.where(rng.random(w * h) < 0.03, ids, 0)
+            ) % 24
+            raw = base[ids].reshape(-1)
+            images.append((f"synthetic_{i}", raw, q.Desc(w, h, q.Channels.RGB)))
+        return images
+
+    root = Path(args.corpus)
+    for path in sorted(root.rglob("*")):
+        if path.suffix.lower() == ".qoi":
+            img = q.decode(path, backend="native")
+            if img:
+                images.append((path.name, img.value().data, img.value().desc))
+        elif path.suffix.lower() == ".png":
+            try:
+                from PIL import Image as PILImage
+
+                im = PILImage.open(path)
+                im = im.convert("RGBA" if "A" in im.mode else "RGB")
+                arr = np.asarray(im, np.uint8)
+                ch = q.Channels.RGBA if arr.shape[-1] == 4 else q.Channels.RGB
+                images.append(
+                    (path.name, arr.reshape(-1), q.Desc(arr.shape[1], arr.shape[0], ch))
+                )
+            except Exception:
+                pass
+    return images
+
+
+def timed(fn, runs, warmup):
+    fn()  # cold
+    for _ in range(warmup):
+        fn()
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        fn()
+    return (time.perf_counter() - t0) / runs
+
+
+def drive_stream_encode(raw, desc, buf=65536):
+    enc = q.StreamEncoder()
+    out = np.zeros(buf, np.uint8)
+    parts = bytearray()
+    enc.initialize(out, desc)
+    parts += out[:14].tobytes()
+    consumed = 0
+    while consumed < raw.size:
+        r = enc.encode(out, raw[consumed:]).value()
+        parts += out[: r.written].tobytes()
+        consumed += r.processed
+    fin = np.zeros(9, np.uint8)
+    n = enc.finalize(fin).value()
+    parts += fin[:n].tobytes()
+    return np.frombuffer(bytes(parts), np.uint8)
+
+
+def drive_stream_decode(blob, desc, buf=65536):
+    dec = q.StreamDecoder()
+    dec.initialize(blob[:14])
+    out = np.zeros(buf, np.uint8)
+    parts = bytearray()
+    consumed = 14
+    end = blob.size - 8
+    while consumed < end:
+        r = dec.decode(out, blob[consumed:end]).value()
+        parts += out[: r.written].tobytes()
+        consumed += r.processed
+        if r.processed == 0 and r.written == 0:
+            break
+    while dec.has_run_count():
+        n = dec.drain_run(out).value()
+        parts += out[:n].tobytes()
+    dec.reset()
+    return np.frombuffer(bytes(parts), np.uint8)
+
+
+def fmt_row(cols):
+    return "  ".join(f"{c:>12}" for c in cols)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="QOI codec benchmark")
+    p.add_argument("corpus", nargs="?", default=None,
+                   help="directory of .qoi/.png images")
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="generate N synthetic images instead")
+    p.add_argument("--width", type=int, default=1024)
+    p.add_argument("--height", type=int, default=768)
+    p.add_argument("--runs", type=int, default=3)
+    p.add_argument("--no-warmup", action="store_true")
+    p.add_argument("--no-verify", action="store_true")
+    p.add_argument("--no-encode", action="store_true")
+    p.add_argument("--no-decode", action="store_true")
+    p.add_argument("--only-totals", action="store_true")
+    for c in ("native", "jax", "jax-batch", "stream"):
+        p.add_argument(f"--no-{c}", action="store_true")
+    args = p.parse_args(argv)
+    if not args.corpus and not args.synthetic:
+        args.synthetic = 4
+
+    images = load_corpus(args)
+    if not images:
+        print("no images found", file=sys.stderr)
+        return 1
+    warmup = 0 if args.no_warmup else 3
+
+    codecs = [c for c in ("native", "jax", "stream")
+              if not getattr(args, f"no_{c.replace('-', '_')}")]
+
+    # verification pass (04_bench.cpp:685-731 analog)
+    if not args.no_verify:
+        for name, raw, desc in images:
+            want, complete = oracle.encode(raw, desc)
+            assert complete
+            for c in codecs:
+                if c == "native":
+                    continue
+                if c == "jax":
+                    got = q.encode(raw, desc, backend="jax").value()
+                else:
+                    got = drive_stream_encode(raw, desc)
+                assert np.array_equal(got, want), f"{c} encode mismatch on {name}"
+                if c == "jax":
+                    gd = q.decode(want, backend="jax").value().data
+                else:
+                    gd = drive_stream_decode(want, desc)
+                assert np.array_equal(gd, raw), f"{c} decode mismatch on {name}"
+        print("verification: all codecs bit-exact vs oracle")
+
+    header = ["image", "codec", "enc ms", "dec ms", "enc MP/s", "dec MP/s",
+              "size KiB", "ratio %"]
+    if not args.only_totals:
+        print(fmt_row(header))
+    totals = {}
+    for name, raw, desc in images:
+        n_px = desc.width * desc.height
+        blob, _ = oracle.encode(raw, desc)
+        for c in codecs:
+            te = td = float("nan")
+            if not args.no_encode:
+                if c == "native":
+                    te = timed(lambda: oracle.encode(raw, desc), args.runs, warmup)
+                elif c == "jax":
+                    te = timed(lambda: q.encode(raw, desc, backend="jax"),
+                               args.runs, warmup)
+                else:
+                    te = timed(lambda: drive_stream_encode(raw, desc),
+                               args.runs, warmup)
+            if not args.no_decode:
+                if c == "native":
+                    td = timed(lambda: oracle.decode(blob, desc, desc.channels),
+                               args.runs, warmup)
+                elif c == "jax":
+                    td = timed(lambda: q.decode(blob, backend="jax"),
+                               args.runs, warmup)
+                else:
+                    td = timed(lambda: drive_stream_decode(blob, desc),
+                               args.runs, warmup)
+            row = [name[:12], c, f"{te*1e3:.2f}", f"{td*1e3:.2f}",
+                   f"{n_px/te/1e6:.1f}" if te == te else "-",
+                   f"{n_px/td/1e6:.1f}" if td == td else "-",
+                   f"{blob.size/1024:.1f}",
+                   f"{100*blob.size/raw.size:.1f}"]
+            if not args.only_totals:
+                print(fmt_row(row))
+            acc = totals.setdefault(c, [0.0, 0.0, 0])
+            acc[0] += te if te == te else 0
+            acc[1] += td if td == td else 0
+            acc[2] += n_px
+
+    # batched device pipeline (one program for the whole corpus) ----------
+    if not getattr(args, "no_jax_batch") and len({
+        (d.width, d.height, d.channels) for _, _, d in images
+    }) == 1:
+        from qoipp_tpu.models.pipeline import BatchPipeline
+        import jax
+        import jax.numpy as jnp
+
+        _, _, desc0 = images[0]
+        blobs = [oracle.encode(r, d)[0] for _, r, d in images]
+        pipe = BatchPipeline(desc0, max_stream_len=max(b.size for b in blobs))
+        streams, sizes = pipe.pack_streams(blobs)
+        streams = jnp.asarray(streams)
+        sizes = jnp.asarray(sizes)
+        n_total = sum(d.width * d.height for _, _, d in images)
+
+        def run():
+            out = pipe.decode_packed(streams, sizes)
+            np.asarray(out[:, :1])  # sync through the transport
+
+        td = timed(run, args.runs, warmup)
+        print(fmt_row(["TOTAL", "jax-batch", "-", f"{td*1e3:.2f}", "-",
+                       f"{n_total/td/1e6:.1f}", "-", "-"]))
+
+    for c, (te, td, npx) in totals.items():
+        print(fmt_row([
+            "TOTAL", c,
+            f"{te*1e3:.2f}", f"{td*1e3:.2f}",
+            f"{npx/te/1e6:.1f}" if te else "-",
+            f"{npx/td/1e6:.1f}" if td else "-", "-", "-",
+        ]))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

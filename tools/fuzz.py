@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Differential fuzz harness.
+
+Mirrors the reference's libFuzzer harness (example/source/99_fuzz.cpp):
+- decode fuzzing: random byte payloads behind a valid header must decode
+  without crashing, and identically on every backend (99_fuzz.cpp:95-112);
+- encode fuzzing: random raw buffers reinterpreted under random Descs
+  (99_fuzz.cpp:114-123);
+- stream fuzzing: random buffer sizes through the streaming codecs
+  (99_fuzz.cpp:125-161).
+
+Where the reference compares against ASan cleanliness, this harness does
+DIFFERENTIAL checking: every backend (native oracle, JAX kernel pipeline,
+streaming) must agree bit-for-bit.
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import qoipp_tpu as q
+from qoipp_tpu import oracle
+from qoipp_tpu.ops import decode as dec_ops
+
+
+def fuzz_decode(rng, max_side=64):
+    """Random chunk payload behind a valid header: oracle vs kernel."""
+    w = int(rng.integers(1, max_side))
+    h = int(rng.integers(1, max_side))
+    ch = q.Channels.RGBA if rng.random() < 0.5 else q.Channels.RGB
+    desc = q.Desc(w, h, ch)
+    body_len = int(rng.integers(0, 5 * w * h + 30))
+    body = rng.integers(0, 256, body_len, dtype=np.uint8)
+    stream = np.frombuffer(
+        q.write_header(desc) + body.tobytes() + q.END_MARKER, np.uint8
+    )
+    want = oracle.decode(stream, desc, ch)
+    got = dec_ops.decode_single(stream, desc, ch)
+    assert np.array_equal(got, want), f"decode divergence: {desc}, len={body_len}"
+
+
+def fuzz_truncated(rng, max_side=48):
+    """Truncated well-formed streams (tolerant decode)."""
+    w = int(rng.integers(2, max_side))
+    h = int(rng.integers(2, max_side))
+    ch = q.Channels.RGB if rng.random() < 0.5 else q.Channels.RGBA
+    desc = q.Desc(w, h, ch)
+    raw = (rng.integers(0, 5, w * h * int(ch)) * 11).astype(np.uint8)
+    enc, _ = oracle.encode(raw, desc)
+    cut = int(rng.integers(15, enc.size))
+    stream = enc[:cut]
+    want = oracle.decode(stream, desc, ch)
+    got = dec_ops.decode_single(stream, desc, ch)
+    assert np.array_equal(got, want), f"truncated divergence: {desc}, cut={cut}"
+
+
+def fuzz_encode_roundtrip(rng, max_side=64):
+    """Random raw buffers: jax encode must equal oracle encode."""
+    w = int(rng.integers(1, max_side))
+    h = int(rng.integers(1, max_side))
+    ch = q.Channels.RGBA if rng.random() < 0.5 else q.Channels.RGB
+    desc = q.Desc(w, h, ch)
+    mode = rng.random()
+    n = w * h * int(ch)
+    if mode < 0.3:
+        raw = rng.integers(0, 256, n, dtype=np.uint8)
+    elif mode < 0.7:
+        raw = (rng.integers(0, 4, n) * int(rng.integers(1, 80))).astype(np.uint8)
+    else:
+        raw = np.tile(rng.integers(0, 256, int(ch), dtype=np.uint8), w * h)
+    want, complete = oracle.encode(raw, desc)
+    assert complete
+    got = q.encode(raw, desc, backend="jax").value()
+    assert np.array_equal(got, want), f"encode divergence: {desc}"
+    dec = oracle.decode(want, desc, ch)
+    assert np.array_equal(dec, raw), f"roundtrip failure: {desc}"
+
+
+def fuzz_stream(rng, max_side=40):
+    """Random buffer sizes through the native streaming codecs."""
+    w = int(rng.integers(2, max_side))
+    h = int(rng.integers(2, max_side))
+    ch = q.Channels.RGBA if rng.random() < 0.5 else q.Channels.RGB
+    desc = q.Desc(w, h, ch)
+    raw = (rng.integers(0, 6, w * h * int(ch)) * 9).astype(np.uint8)
+    want, _ = oracle.encode(raw, desc)
+
+    enc_buf = int(rng.integers(5, 300))
+    enc = q.StreamEncoder()
+    out = np.zeros(enc_buf, np.uint8)
+    hdr = np.zeros(14, np.uint8)
+    parts = bytearray()
+    enc.initialize(hdr, desc)
+    parts += hdr.tobytes()
+    consumed = 0
+    while consumed < raw.size:
+        r = enc.encode(out, raw[consumed : consumed + enc_buf]).value()
+        parts += out[: r.written].tobytes()
+        consumed += r.processed
+    fin = np.zeros(9, np.uint8)
+    n = enc.finalize(fin).value()
+    parts += fin[:n].tobytes()
+    got = np.frombuffer(bytes(parts), np.uint8)
+    assert np.array_equal(got, want), f"stream encode divergence: {desc}, buf={enc_buf}"
+
+    dec_buf = int(rng.integers(max(int(ch), 5), 300))
+    dec = q.StreamDecoder()
+    dec.initialize(want[:14])
+    outd = np.zeros(dec_buf, np.uint8)
+    pix = bytearray()
+    consumed = 14
+    end = want.size - 8
+    while consumed < end:
+        r = dec.decode(outd, want[consumed : consumed + dec_buf]).value()
+        pix += outd[: r.written].tobytes()
+        consumed += r.processed
+        if r.processed == 0 and r.written == 0:
+            break
+    while dec.has_run_count():
+        n = dec.drain_run(outd).value()
+        pix += outd[:n].tobytes()
+    got_raw = np.frombuffer(bytes(pix), np.uint8)[: raw.size]
+    assert np.array_equal(got_raw, raw), f"stream decode divergence: {desc}, buf={dec_buf}"
+
+
+FUZZERS = {
+    "decode": fuzz_decode,
+    "truncated": fuzz_truncated,
+    "encode": fuzz_encode_roundtrip,
+    "stream": fuzz_stream,
+}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Differential QOI fuzzer")
+    p.add_argument("-n", "--iterations", type=int, default=50)
+    p.add_argument("-s", "--seed", type=int, default=0)
+    p.add_argument("--only", choices=sorted(FUZZERS), default=None)
+    args = p.parse_args(argv)
+
+    rng = np.random.default_rng(args.seed)
+    targets = [FUZZERS[args.only]] if args.only else list(FUZZERS.values())
+    for i in range(args.iterations):
+        for fz in targets:
+            fz(rng)
+        if (i + 1) % 10 == 0:
+            print(f"{i + 1}/{args.iterations} iterations clean", flush=True)
+    print(f"fuzz OK: {args.iterations} iterations x {len(targets)} targets")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

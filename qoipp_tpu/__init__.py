@@ -50,7 +50,27 @@ from .api import (  # noqa: E402
 )
 from .stream import StreamDecoder, StreamEncoder  # noqa: E402
 
+
+def __getattr__(name):
+    # Heavier device components load lazily (they pull in JAX).
+    if name == "BatchPipeline":
+        from .models.pipeline import BatchPipeline
+
+        return BatchPipeline
+    if name == "DeviceStreamEncoder":
+        from .ops.device_stream import DeviceStreamEncoder
+
+        return DeviceStreamEncoder
+    if name == "DeviceStreamDecoder":
+        from .ops.device_stream import DeviceStreamDecoder
+
+        return DeviceStreamDecoder
+    raise AttributeError(name)
+
 __all__ = [
+    "BatchPipeline",
+    "DeviceStreamDecoder",
+    "DeviceStreamEncoder",
     "Channels",
     "Colorspace",
     "Desc",

@@ -12,6 +12,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cstddef>
+#include <cstdio>
 
 namespace {
 
@@ -575,4 +576,42 @@ u8 qoiref_stream_channels(const StreamState* s) { return s->channels; }
 u8 qoiref_dec_target(const StreamState* s) { return s->target; }
 int qoiref_stream_is_initialized(const StreamState* s) { return s->initialized; }
 
+// ---------------------------------------------------------------------------
+// Batch loader — the native data-loader feeding the device pipelines.
+//
+// Reads QOI files straight into a caller-owned padded (B, row) batch buffer
+// (zero-filled tails), recording per-file byte sizes.  One syscall-bound
+// pass, no Python in the loop.  Returns 0 on success, or 1-based index of
+// the first file that failed to open/read/fit.
+// ---------------------------------------------------------------------------
+
+u64 qoiref_pack_files(const char** paths, u64 n, u8* out, u64 row,
+                      u64* sizes) {
+  for (u64 i = 0; i < n; ++i) {
+    std::FILE* f = std::fopen(paths[i], "rb");
+    if (!f) return i + 1;
+    u8* dst = out + i * row;
+    u64 total = 0;
+    for (;;) {
+      size_t got = std::fread(dst + total, 1, row - total, f);
+      total += got;
+      if (got == 0) break;
+      if (total == row) {
+        // file larger than the row: check for trailing data
+        int c = std::fgetc(f);
+        if (c != EOF) {
+          std::fclose(f);
+          return i + 1;
+        }
+        break;
+      }
+    }
+    std::fclose(f);
+    std::memset(dst + total, 0, row - total);
+    sizes[i] = total;
+  }
+  return 0;
+}
+
 }  // extern "C"
+

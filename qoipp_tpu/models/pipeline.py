@@ -143,6 +143,13 @@ class BatchPipeline:
 
     # -- host conveniences -------------------------------------------------
 
+    def load_files(self, paths) -> Tuple[np.ndarray, np.ndarray]:
+        """Native batch loader: QOI files -> ((B, l_cap) u8, (B,) i32)
+        via one C pass (native/qoi_ref.cpp qoiref_pack_files)."""
+        from .. import oracle
+
+        return oracle.pack_files(list(paths), self.l_cap)
+
     def pack_streams(self, blobs) -> Tuple[np.ndarray, np.ndarray]:
         """List of qoi byte strings/arrays -> ((B, l_cap) u8, (B,) i32)."""
         b = len(blobs)

@@ -113,6 +113,11 @@ def _load() -> ctypes.CDLL:
         lib.qoiref_dec_target.argtypes = [ctypes.c_void_p]
         lib.qoiref_stream_is_initialized.restype = ctypes.c_int
         lib.qoiref_stream_is_initialized.argtypes = [ctypes.c_void_p]
+        lib.qoiref_pack_files.restype = ctypes.c_uint64
+        lib.qoiref_pack_files.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_uint64,
+            _u8p, ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint64),
+        ]
 
         _lib = lib
         return lib
@@ -223,3 +228,21 @@ class NativeStreamState:
 
     def target(self) -> int:
         return int(self._lib.qoiref_dec_target(self._blob))
+
+
+def pack_files(paths, row: int):
+    """Native batch loader: read QOI files into a zero-padded (B, row) u8
+    array + per-file sizes in one native pass (the data-loader feeding
+    BatchPipeline).  Raises on unreadable/oversized files."""
+    lib = _load()
+    n = len(paths)
+    out = np.zeros((n, row), dtype=np.uint8)
+    sizes = np.zeros(n, dtype=np.uint64)
+    arr = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
+    rc = lib.qoiref_pack_files(
+        arr, n, _ptr(out.reshape(-1)), row,
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+    )
+    if rc != 0:
+        raise OSError(f"failed to load {paths[int(rc) - 1]}")
+    return out, sizes.astype(np.int32)

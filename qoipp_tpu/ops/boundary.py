@@ -66,7 +66,7 @@ def chunk_starts(region):
         nxt = jnp.where(carry > 0, carry - 1, (lens_col - 1)[:, None])
         return nxt, None
 
-    block_map, _ = jax.lax.scan(step_map, ident, lens.T, unroll=8)  # (nblk, 5)
+    block_map, _ = jax.lax.scan(step_map, ident, lens.T, unroll=16)  # (nblk, 5)
 
     # Stage B: exclusive composition across blocks (f then g => g[f[phi]]).
     def compose(a, b):
@@ -81,7 +81,7 @@ def chunk_starts(region):
         nxt = jnp.where(phi > 0, phi - 1, lens_col - 1)
         return nxt, phi
 
-    _, phases = jax.lax.scan(step_phase, entry_phase, lens.T, unroll=8)  # (BLOCK, nblk)
+    _, phases = jax.lax.scan(step_phase, entry_phase, lens.T, unroll=16)  # (BLOCK, nblk)
     return (phases.T.reshape(-1) == 0)
 
 

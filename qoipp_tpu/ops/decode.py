@@ -333,28 +333,73 @@ def fields_dense_batch(regions, real):
 
 
 def expand_bytes_batch(emits, real, produced, pix_before, n_cap: int):
-    """Byte-domain batched expansion: telescoping-delta + flat globally
-    sorted scatter-add + per-row cumsum.  emits: (B, qb) from the replay
-    kernel (NOP rows emit the running prev, so the shift below is exact)."""
+    """Byte-domain batched expansion with two exact engines:
+
+    * opaque fast path — when every emitted value's alpha is 0xFF (true
+      for any conforming RGB-channel stream; verified on the ACTUAL emits,
+      no well-formedness assumption): one flat scatter-SET of a
+      (flag | rgb24) word (all duplicate writers carry equal words by
+      construction, so set is deterministic), then a 6-pass log fill
+      across RUN gaps (gaps are <= 61 pixels).  Scatter-set measured
+      ~1.8x faster than scatter-add on TPU.
+
+    * general path — telescoping-delta scatter-add + mod-2^32 cumsum.
+
+    emits: (B, qb) from the replay kernel (NOP rows emit the running prev,
+    so shifts below are exact).
+    """
     b, qb = emits.shape
-    prevv = jnp.concatenate(
-        [jnp.full((b, 1), START_PIXEL_PACKED, jnp.uint32), emits[:, :-1]],
-        axis=1,
-    )
+    row = n_cap + 1
+    flat_base = (jnp.arange(b, dtype=jnp.int32) * row)[:, None]
     covers = real & (produced > 0) & (pix_before < n_cap)
     # pix_before is nondecreasing over ALL byte positions (including
     # non-chunks), so using it directly keeps the scatter indices truly
-    # sorted; non-covered rows just add zero.
+    # sorted; non-covered rows contribute neutrally.
     idx = jnp.minimum(pix_before, n_cap)
-    delta = jnp.where(covers, emits - prevv, 0)
-    row = n_cap + 1
-    flat = (jnp.arange(b, dtype=jnp.int32) * row)[:, None] + idx
-    out0 = (
-        jnp.zeros(b * row, jnp.uint32)
-        .at[flat.reshape(-1)].add(delta.reshape(-1), indices_are_sorted=True)
-        .reshape(b, row)[:, :n_cap]
-    )
-    return jnp.cumsum(out0, axis=1) + START_PIXEL_PACKED
+    flat = (flat_base + idx).reshape(-1)
+
+    def general(_):
+        prevv = jnp.concatenate(
+            [jnp.full((b, 1), START_PIXEL_PACKED, jnp.uint32), emits[:, :-1]],
+            axis=1,
+        )
+        delta = jnp.where(covers, emits - prevv, 0)
+        out0 = (
+            jnp.zeros(b * row, jnp.uint32)
+            .at[flat].add(delta.reshape(-1), indices_are_sorted=True)
+            .reshape(b, row)[:, :n_cap]
+        )
+        return jnp.cumsum(out0, axis=1) + START_PIXEL_PACKED
+
+    def opaque(_):
+        from .fill import fill_forward
+
+        # Every byte row carries the NEXT covered chunk's rgb (so rows in
+        # one duplicate group — those sharing pix_before — write equal
+        # words); fill-backward = fill-forward on the flipped axis.
+        rgb = emits & 0xFFFFFF
+        (nxt,), got, _ = fill_forward(
+            [(rgb[:, ::-1], 24)], covers[:, ::-1], covers[:, ::-1], axis=-1
+        )
+        word = jnp.where(
+            got[:, ::-1], jnp.uint32(1 << 31) | nxt[:, ::-1], jnp.uint32(0)
+        )
+        f = (
+            jnp.zeros(b * row, jnp.uint32)
+            .at[flat].set(word.reshape(-1), indices_are_sorted=True)
+            .reshape(b, row)[:, :n_cap]
+        )
+        # log fill across RUN interiors (nearest written slot to the left
+        # is always the covering chunk: gaps <= 61 < 64)
+        for k in (1, 2, 4, 8, 16, 32):
+            shifted = jnp.concatenate(
+                [jnp.zeros((b, k), jnp.uint32), f[:, :-k]], axis=1
+            )
+            f = jnp.where(f >> 31 != 0, f, shifted)
+        return (f & 0xFFFFFF) | jnp.uint32(0xFF000000)
+
+    all_opaque = jnp.all((emits >> 24) == 0xFF)
+    return jax.lax.cond(all_opaque, opaque, general, 0)
 
 
 def compact_fields_batch(regions, real, produced, pix_before, c_cap: int):
@@ -498,8 +543,7 @@ def decode_single(data, desc: Desc, dst_channels: Channels) -> np.ndarray:
     n_px = desc.width * desc.height
     chunks_size = size - 14 - 8
 
-    def run_analysis(extra: int):
-        qb = _bucket(size - 14 + extra, boundary.BLOCK)
+    def run_analysis(qb: int):
         reg = np.zeros(qb + 8, dtype=np.uint8)
         reg[: size - 14] = data[14:]
         reg_j = jnp.asarray(reg)
@@ -508,12 +552,17 @@ def decode_single(data, desc: Desc, dst_channels: Channels) -> np.ndarray:
         )
         return reg_j, info, qb
 
-    region, info, qb = run_analysis(0)
+    region, info, qb = run_analysis(_bucket(size - 14, boundary.BLOCK))
     total_px = int(info["total_pixels"])
-    if total_px < n_px:
+    while total_px < n_px:
         # Tolerant path: zero-fill reads continue producing chunks until the
-        # pixel count is satisfied; widen the analysis window to cover them.
-        region, info, qb = run_analysis(n_px - total_px + 8)
+        # pixel count is satisfied; widen the analysis window until the
+        # deficit is covered (each zero byte yields one INDEX chunk = one
+        # pixel, so growing by the deficit always terminates).
+        region, info, qb = run_analysis(
+            _bucket(qb + (n_px - total_px) + 8, boundary.BLOCK)
+        )
+        total_px = int(info["total_pixels"])
 
     n_cap = _bucket(n_px, 128)
     packed = _decode_region_kernel(

@@ -90,7 +90,7 @@ def main():
     # ---- device: batched parallel decode ---------------------------------
     max_len = max(stream_sizes)
     pipe = BatchPipeline(desc, max_stream_len=max_len)
-    log(f"pipeline: qb={pipe.qb} c_cap={pipe.c_cap} (replay steps)")
+    log(f"pipeline: qb={pipe.qb} (replay steps)")
 
     streams_np, sizes_np = pipe.pack_streams(blobs)
     streams = jax.device_put(jnp.asarray(streams_np), dev)

@@ -40,15 +40,12 @@ class BatchPipeline:
     desc: image geometry (width/height/channels shared by the batch).
     max_stream_len: longest QOI stream (bytes) the decode path must accept;
         defaults to worst_size(desc).  Tighter bounds shorten the replay.
-    s_tiles: speculative tiles per image in the decode replay (default:
-        auto — one tile per ~1KiB of stream, capped at 512).
     """
 
     def __init__(
         self,
         desc: Desc,
         max_stream_len: Optional[int] = None,
-        s_tiles: Optional[int] = None,
     ):
         self.desc = desc
         self.channels = int(desc.channels)
@@ -59,11 +56,7 @@ class BatchPipeline:
         self.qb = _round_up(max(max_stream_len - 14, boundary.BLOCK), boundary.BLOCK)
         self.l_cap = 14 + self.qb + 8  # stream rows carry 8 bytes of slack
 
-        self.s_tiles = s_tiles or dec_ops.pick_tiles(self.qb)
-        assert self.qb % self.s_tiles == 0
         self.n_cap = _round_up(self.n_px, 128)
-        # replay-kernel step bound: chunks <= stream bytes AND <= pixels
-        self.c_cap = _round_up(min(self.qb, self.n_px + 64), 512)
 
         self.nb = enc_ops.pad_to_tile(self.n_px)
         self._header = jnp.asarray(

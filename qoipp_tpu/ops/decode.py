@@ -1,33 +1,37 @@
 """TPU-native parallel QOI decoder.
 
-Three-pass, gather-free pipeline (SURVEY.md §7 design stance, tuned to the
-measured TPU reality that random gather/scatter runs ~10ns/element while
-dense VPU ops and *sorted* scatter-adds run at full vector speed):
+Three-pass pipeline (SURVEY.md §7 design stance, tuned to the measured TPU
+reality that random gather/scatter runs near the scalar unit's serial
+limit while dense VPU ops, cumsum/cummax primitives and the Pallas grid
+pipeline run at full vector speed):
 
 1. *Boundary pass* (ops/boundary.py): tag-length classification + the
    5-phase composed scan locate every chunk start, its pixel output offset
    (prefix sum over per-chunk pixel counts), and the reference's tolerant
    loop bound — exact and fully parallel.
 
-2. *Replay pass*: chunk fields (class / payload / delta / index-arg) are
-   computed densely at EVERY byte position via shifted slices (no
-   compaction, no gathers — non-start positions become NOPs).  The byte
-   range splits into S tiles replayed by a T-step lax.scan vectorized
-   across tiles; the carry is the packed codec state (prev pixel + 64-entry
-   table + written masks).  Tiles start from speculative carries; each
-   fixpoint round replays all tiles, then propagates carries across ALL
-   tiles at once with an exclusive associative overwrite-scan of per-tile
-   transfer summaries (out-state + written masks) — so pass-through table
-   slots cross many tiles per round, not one.  Convergence (in-states ==
-   propagated predecessor out-states) is checked each round; by induction
-   from tile 0's true initial state any fixpoint is bit-exact.
+2. *Replay pass* (ops/replay_kernel.py, the production engine): chunk
+   fields (class / payload / delta / index-arg) are computed densely at
+   EVERY byte position via shifted slices (classify_dense /
+   fields_dense_batch — no compaction, no gathers; non-start positions
+   become NOPs), then ONE Pallas kernel replays the whole batch: images
+   are VPU lanes, the (64, B) table lives in VMEM scratch, ~46 ns per
+   chunk step, exact for every stream including adversarial ones.
 
-3. *Expansion*: emitted values scatter-add at their pixel offsets (indices
-   are sorted — XLA's fast path), then a fill-forward associative scan
-   broadcasts each chunk's value across its RUN range.
+3. *Expansion* (expand_bytes_batch): two exact engines — an opaque
+   scatter-SET + log-fill fast path, and a general telescoping-delta
+   sorted scatter-add + mod-2^32 cumsum.
 
-Sequential depth: T = bytes/S scan steps x (rounds+1), instead of one step
-per pixel in the reference (source/simple.cpp:111-170).
+This module also keeps the scan-engine alternative `decode_bytes`: S
+speculative tiles replayed by a T-step lax.scan with transfer-summary
+fixpoint reconciliation (bit-exact by induction from tile 0's true
+state).  It needs no Pallas and powers the sequence-parallel sharded path
+(parallel/sharded.py); its fixpoint can take O(S) rounds on INDEX-heavy
+data, so the kernel engine is the default.  A third engine, the Jacobi
+dataflow solve, lives in ops/wave.py.
+
+The reference decodes all of this with one sequential per-pixel loop
+(source/simple.cpp:111-170).
 """
 
 from __future__ import annotations
@@ -256,53 +260,8 @@ def expand_pixels(emits_q, prevs_q, real, produced, pix_before, n_cap: int):
 
 
 # --------------------------------------------------------------------------
-# Chunk compaction for the Pallas replay kernel (ops/replay_kernel.py)
+# Byte-domain fields + expansion for the Pallas replay kernel
 # --------------------------------------------------------------------------
-
-
-def compact_fields(region, real, produced, pix_before, c_cap: int):
-    """Compact per-byte-position chunk info into dense per-chunk arrays in
-    the kernel's (meta, val) encoding, via sorted scatter-adds (cidx is
-    nondecreasing over byte positions, non-chunks contribute zero).
-
-    Returns meta, val, produced_c, pixoff_c — all (c_cap,).
-    """
-    from . import replay_kernel as rk
-    from . import wave as wave_ops
-
-    qb = real.shape[0]
-    kind, (r_abs, g_abs, b_abs, a_abs), (dr, dg, db), arg = (
-        wave_ops.classify_kinds(region, qb, real)
-    )
-    # wave kinds already match the kernel's cls numbering (NOP..RUN = 0..5)
-    meta_q = (kind | (arg << 3)).astype(jnp.uint32)
-    is_seta = kind == wave_ops.SETA
-    is_setc = kind == wave_ops.SETC
-    val_q = jnp.where(
-        is_seta,
-        r_abs | (g_abs << 8) | (b_abs << 16) | (a_abs << 24),
-        jnp.where(
-            is_setc,
-            r_abs | (g_abs << 8) | (b_abs << 16),
-            dr | (dg << 8) | (db << 16),
-        ),
-    ).astype(jnp.uint32)
-
-    r32 = real.astype(jnp.uint32)
-    cidx = jnp.minimum(jnp.cumsum(r32) - r32, c_cap).astype(jnp.int32)
-
-    def compact(x):
-        return (
-            jnp.zeros(c_cap + 1, jnp.uint32)
-            .at[cidx].add(jnp.where(real, x.astype(jnp.uint32), 0),
-                          indices_are_sorted=True)[:c_cap]
-        )
-
-    meta = compact(meta_q)
-    val = compact(val_q)
-    produced_c = compact(produced).astype(jnp.int32)
-    pixoff_c = compact(pix_before).astype(jnp.int32)
-    return meta, val, produced_c, pixoff_c
 
 
 def fields_dense_batch(regions, real):
@@ -400,86 +359,6 @@ def expand_bytes_batch(emits, real, produced, pix_before, n_cap: int):
 
     all_opaque = jnp.all((emits >> 24) == 0xFF)
     return jax.lax.cond(all_opaque, opaque, general, 0)
-
-
-def compact_fields_batch(regions, real, produced, pix_before, c_cap: int):
-    """Batched compact_fields.  Batching a scatter under vmap drops XLA's
-    sorted fast path, so the per-image scatters are lifted into one flat
-    row-major index space (globally sorted).  All (B, ...) shaped."""
-    from . import wave as wave_ops
-
-    b, qb = real.shape
-    kind, (r_abs, g_abs, b_abs, a_abs), (dr, dg, db), arg = jax.vmap(
-        lambda reg, re: wave_ops.classify_kinds(reg, qb, re)
-    )(regions, real)
-    meta_q = (kind | (arg << 3)).astype(jnp.uint32)
-    is_seta = kind == wave_ops.SETA
-    is_setc = kind == wave_ops.SETC
-    val_q = jnp.where(
-        is_seta,
-        r_abs | (g_abs << 8) | (b_abs << 16) | (a_abs << 24),
-        jnp.where(
-            is_setc,
-            r_abs | (g_abs << 8) | (b_abs << 16),
-            dr | (dg << 8) | (db << 16),
-        ),
-    ).astype(jnp.uint32)
-
-    r32 = real.astype(jnp.uint32)
-    cidx = jnp.minimum(jnp.cumsum(r32, axis=1) - r32, c_cap).astype(jnp.int32)
-    row = c_cap + 1
-    flat = (jnp.arange(b, dtype=jnp.int32) * row)[:, None] + cidx
-
-    def compact(x):
-        vals = jnp.where(real, x.astype(jnp.uint32), 0).reshape(-1)
-        return (
-            jnp.zeros(b * row, jnp.uint32)
-            .at[flat.reshape(-1)].add(vals, indices_are_sorted=True)
-            .reshape(b, row)[:, :c_cap]
-        )
-
-    meta = compact(meta_q)
-    val = compact(val_q)
-    produced_c = compact(produced).astype(jnp.int32)
-    pixoff_c = compact(pix_before).astype(jnp.int32)
-    return meta, val, produced_c, pixoff_c
-
-
-def expand_compact_batch(emits, produced_c, pixoff_c, n_cap: int):
-    """Batched expand_compact with one flat globally-sorted scatter-add."""
-    b, c_cap = emits.shape
-    prevv = jnp.concatenate(
-        [jnp.full((b, 1), START_PIXEL_PACKED, jnp.uint32), emits[:, :-1]],
-        axis=1,
-    )
-    covers = (produced_c > 0) & (pixoff_c < n_cap)
-    idx = jnp.where(covers, jnp.minimum(pixoff_c, n_cap), n_cap)
-    delta = jnp.where(covers, emits - prevv, 0)
-    row = n_cap + 1
-    flat = (jnp.arange(b, dtype=jnp.int32) * row)[:, None] + idx
-    out0 = (
-        jnp.zeros(b * row, jnp.uint32)
-        .at[flat.reshape(-1)].add(delta.reshape(-1), indices_are_sorted=True)
-        .reshape(b, row)[:, :n_cap]
-    )
-    return jnp.cumsum(out0, axis=1) + START_PIXEL_PACKED
-
-
-def expand_compact(emits, produced_c, pixoff_c, n_cap: int):
-    """Chunk-domain pixel expansion: same telescoping-delta trick as
-    expand_pixels, with prev values obtained by shifting the emit row
-    (padding rows emit the running prev, so the shift is exact)."""
-    prevv = jnp.concatenate(
-        [jnp.array([START_PIXEL_PACKED], jnp.uint32), emits[:-1]]
-    )
-    covers = (produced_c > 0) & (pixoff_c < n_cap)
-    idx = jnp.where(covers, jnp.minimum(pixoff_c, n_cap), n_cap)
-    delta = jnp.where(covers, emits - prevv, 0)
-    out0 = (
-        jnp.zeros(n_cap + 1, jnp.uint32)
-        .at[idx].add(delta, indices_are_sorted=True)[:n_cap]
-    )
-    return jnp.cumsum(out0) + START_PIXEL_PACKED
 
 
 # --------------------------------------------------------------------------

@@ -349,12 +349,23 @@ def expand_bytes_batch(emits, real, produced, pix_before, n_cap: int):
             .reshape(b, row)[:, :n_cap]
         )
         # log fill across RUN interiors (nearest written slot to the left
-        # is always the covering chunk: gaps <= 61 < 64)
-        for k in (1, 2, 4, 8, 16, 32):
-            shifted = jnp.concatenate(
-                [jnp.zeros((b, k), jnp.uint32), f[:, :-k]], axis=1
-            )
-            f = jnp.where(f >> 31 != 0, f, shifted)
+        # is always the covering chunk: gaps <= 61 < 64); fused halo kernel
+        # when the shape allows, dense passes otherwise
+        from . import replay_kernel as rk
+
+        blk = next(
+            (cand for cand in (16384, 8192, 4096, 2048, 1024, 512, 256, 128)
+             if n_cap % cand == 0),
+            None,
+        )
+        if blk is not None and n_cap >= 4 * blk:
+            f = rk.logfill_batch(f, blk=blk)
+        else:
+            for k in (1, 2, 4, 8, 16, 32):
+                shifted = jnp.concatenate(
+                    [jnp.zeros((b, k), jnp.uint32), f[:, :-k]], axis=1
+                )
+                f = jnp.where(f >> 31 != 0, f, shifted)
         return (f & 0xFFFFFF) | jnp.uint32(0xFF000000)
 
     all_opaque = jnp.all((emits >> 24) == 0xFF)

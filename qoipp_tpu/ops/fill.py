@@ -89,21 +89,24 @@ def fill_forward(
 
     got = (filled_pieces[0] >> w) > 0
 
-    # Re-extract components.
-    out_bits = []
+    # Re-extract components field-wise (a field spans at most
+    # ceil(bits/w)+1 pieces; shift-or them together).
     piece_vals = [cm & ((1 << w) - 1) for cm in filled_pieces]
-    bit_stream = []
-    for pv in piece_vals:
-        for i in range(w):
-            bit_stream.append((pv >> i) & 1)
-    # valid bit
-    ok = got & (bit_stream[0] > 0)
+
+    def extract(offset: int, bits: int):
+        v = jnp.zeros_like(arrs[0])
+        taken = 0
+        while taken < bits:
+            pi, po = divmod(offset + taken, w)
+            take = min(bits - taken, w - po)
+            v = v | (((piece_vals[pi] >> po) & ((1 << take) - 1)) << taken)
+            taken += take
+        return v
+
+    ok = got & (extract(0, 1) > 0)
     values = []
     cursor = 1
     for _, bits in payloads:
-        v = jnp.zeros_like(arrs[0])
-        for i in range(bits):
-            v = v | (bit_stream[cursor + i] << i)
+        values.append(extract(cursor, bits))
         cursor += bits
-        values.append(v)
     return values, got, ok

@@ -172,3 +172,58 @@ def replay_batch(meta, val, slab: int = 512):
     prev0, seen0 = initial_state(b)
     emits, _, _ = replay_batch_carry(meta, val, prev0, seen0, slab=slab)
     return emits
+
+
+# --------------------------------------------------------------------------
+# Log-fill kernel (pixel expansion's gap fill)
+# --------------------------------------------------------------------------
+
+_FILL_HALO = 128  # gaps are < 64; 128 satisfies Mosaic lane tiling
+
+
+def _logfill_kernel(halo_ref, main_ref, out_ref):
+    rows = main_ref.shape[0]
+    f = jnp.concatenate([halo_ref[:, :], main_ref[:, :]], axis=1)
+    # 6 doubling passes entirely in VMEM: nearest flagged word (bit 31)
+    # within 63 to the left wins (rows are independent images).
+    for k in (1, 2, 4, 8, 16, 32):
+        shifted = jnp.concatenate(
+            [jnp.zeros((rows, k), jnp.uint32), f[:, :-k]], axis=1
+        )
+        f = jnp.where(f >> 31 != 0, f, shifted)
+    out_ref[:, :] = f[:, _FILL_HALO:]
+
+
+@partial(jax.jit, static_argnames=("blk",))
+def logfill_batch(words, blk: int = 16384):
+    """words: (B, n_cap) uint32 with bit 31 flagging written slots (gaps
+    < 64).  Returns the fill-forward of flagged words in ~one HBM round
+    trip instead of six (each grid block gets the previous block's last
+    64 slots as an explicit halo input)."""
+    b, n = words.shape
+    assert n % blk == 0
+    rpad = (-b) % 8  # Mosaic wants the sublane block dim in multiples of 8
+    if rpad:
+        words = jnp.pad(words, ((0, rpad), (0, 0)))
+    bp = b + rpad
+    nblk = n // blk
+    tails = words.reshape(bp, nblk, blk)[:, :, blk - _FILL_HALO :]
+    halos = jnp.concatenate(
+        [jnp.zeros((bp, 1, _FILL_HALO), jnp.uint32), tails[:, :-1]], axis=1
+    ).reshape(bp, nblk * _FILL_HALO)
+    out = pl.pallas_call(
+        _logfill_kernel,
+        grid=(bp // 8, nblk),
+        in_specs=[
+            pl.BlockSpec(
+                (8, _FILL_HALO), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((8, blk), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (8, blk), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bp, n), jnp.uint32),
+        interpret=jax.default_backend() != "tpu",
+    )(halos, words)
+    return out[:b]

@@ -12,7 +12,7 @@ calls total — all primitive, fast to compile, HBM-bandwidth bound.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

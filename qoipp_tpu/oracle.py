@@ -17,7 +17,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from .common import Channels, Colorspace, Desc, HEADER_SIZE
+from .common import Channels, Colorspace, Desc
 
 _NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
 _SRC = _NATIVE_DIR / "qoi_ref.cpp"

@@ -16,7 +16,6 @@ single-chip reconciliation) converges to the exact sequential semantics.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ from typing import Dict
 
 import numpy as np
 
-from ..common import Desc, HEADER_SIZE
+from ..common import Desc
 
 
 @contextlib.contextmanager

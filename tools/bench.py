@@ -13,6 +13,7 @@ Codecs benchmarked:
   jax        one-shot device codec (qoipp_tpu encode/decode backend=jax)
   jax-batch  batched device pipeline (all images in one device program)
   stream     native streaming codec driven with a 64 KiB buffer
+  png        Pillow PNG (the reference benches stb/fpng the same way)
 
 Corpus: a directory of .qoi (and .png, if Pillow is present) files, or a
 generated synthetic corpus with --synthetic N.
@@ -133,7 +134,7 @@ def main(argv=None):
     p.add_argument("--no-encode", action="store_true")
     p.add_argument("--no-decode", action="store_true")
     p.add_argument("--only-totals", action="store_true")
-    for c in ("native", "jax", "jax-batch", "stream"):
+    for c in ("native", "jax", "jax-batch", "stream", "png"):
         p.add_argument(f"--no-{c}", action="store_true")
     args = p.parse_args(argv)
     if not args.corpus and not args.synthetic:
@@ -145,8 +146,12 @@ def main(argv=None):
         return 1
     warmup = 0 if args.no_warmup else 3
 
-    codecs = [c for c in ("native", "jax", "stream")
+    codecs = [c for c in ("native", "jax", "stream", "png")
               if not getattr(args, f"no_{c.replace('-', '_')}")]
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        codecs = [c for c in codecs if c != "png"]
 
     # verification pass (04_bench.cpp:685-731 analog)
     if not args.no_verify:
@@ -154,7 +159,7 @@ def main(argv=None):
             want, complete = oracle.encode(raw, desc)
             assert complete
             for c in codecs:
-                if c == "native":
+                if c in ("native", "png"):
                     continue
                 if c == "jax":
                     got = q.encode(raw, desc, backend="jax").value()
@@ -178,30 +183,55 @@ def main(argv=None):
         blob, _ = oracle.encode(raw, desc)
         for c in codecs:
             te = td = float("nan")
-            if not args.no_encode:
-                if c == "native":
-                    te = timed(lambda: oracle.encode(raw, desc), args.runs, warmup)
-                elif c == "jax":
-                    te = timed(lambda: q.encode(raw, desc, backend="jax"),
-                               args.runs, warmup)
-                else:
-                    te = timed(lambda: drive_stream_encode(raw, desc),
-                               args.runs, warmup)
-            if not args.no_decode:
-                if c == "native":
-                    td = timed(lambda: oracle.decode(blob, desc, desc.channels),
-                               args.runs, warmup)
-                elif c == "jax":
-                    td = timed(lambda: q.decode(blob, backend="jax"),
-                               args.runs, warmup)
-                else:
-                    td = timed(lambda: drive_stream_decode(blob, desc),
-                               args.runs, warmup)
+            size_b = blob.size
+            if c == "png":
+                import io
+
+                from PIL import Image as PILImage
+
+                mode = "RGBA" if desc.channels == q.Channels.RGBA else "RGB"
+                arr2d = raw.reshape(desc.height, desc.width, int(desc.channels))
+
+                def png_enc():
+                    bio = io.BytesIO()
+                    PILImage.fromarray(arr2d, mode).save(bio, format="PNG")
+                    return bio.getvalue()
+
+                png_blob = png_enc()
+                size_b = len(png_blob)
+
+                def png_dec():
+                    return np.asarray(PILImage.open(io.BytesIO(png_blob)))
+
+                if not args.no_encode:
+                    te = timed(png_enc, args.runs, warmup)
+                if not args.no_decode:
+                    td = timed(png_dec, args.runs, warmup)
+            else:
+                if not args.no_encode:
+                    if c == "native":
+                        te = timed(lambda: oracle.encode(raw, desc), args.runs, warmup)
+                    elif c == "jax":
+                        te = timed(lambda: q.encode(raw, desc, backend="jax"),
+                                   args.runs, warmup)
+                    else:
+                        te = timed(lambda: drive_stream_encode(raw, desc),
+                                   args.runs, warmup)
+                if not args.no_decode:
+                    if c == "native":
+                        td = timed(lambda: oracle.decode(blob, desc, desc.channels),
+                                   args.runs, warmup)
+                    elif c == "jax":
+                        td = timed(lambda: q.decode(blob, backend="jax"),
+                                   args.runs, warmup)
+                    else:
+                        td = timed(lambda: drive_stream_decode(blob, desc),
+                                   args.runs, warmup)
             row = [name[:12], c, f"{te*1e3:.2f}", f"{td*1e3:.2f}",
                    f"{n_px/te/1e6:.1f}" if te == te else "-",
                    f"{n_px/td/1e6:.1f}" if td == td else "-",
-                   f"{blob.size/1024:.1f}",
-                   f"{100*blob.size/raw.size:.1f}"]
+                   f"{size_b/1024:.1f}",
+                   f"{100*size_b/raw.size:.1f}"]
             if not args.only_totals:
                 print(fmt_row(row))
             acc = totals.setdefault(c, [0.0, 0.0, 0])

@@ -52,6 +52,24 @@ def fill_forward(
     total_bits = sum(widths) + 1  # +1 for the valid bit
     w, k = _plan(n, total_bits)
 
+    # Mosaic compiles cummax pathologically (~1 min) when a 2-D operand's
+    # leading dim is 2..7; pad it to a multiple of 8 and slice after.
+    rpad = 0
+    if (
+        arrs[0].ndim == 2
+        and axis in (-1, 1)
+        and 1 < arrs[0].shape[0]
+        and arrs[0].shape[0] % 8
+    ):
+        rpad = (-arrs[0].shape[0]) % 8
+        pad_rows = lambda x: jnp.pad(x, ((0, rpad), (0, 0)))
+        arrs = [pad_rows(a) for a in arrs]
+        participate = pad_rows(participate)
+        valid = pad_rows(valid)
+
+    def unpad(x):
+        return x[:-rpad] if rpad else x
+
     # Assemble payload pieces (valid bit first, then payloads LSB-first).
     comps = [(valid.astype(jnp.uint32), 1)] + [
         (a & ((1 << b) - 1) if b < 32 else a, b) for a, b in zip(arrs, widths)
@@ -103,10 +121,11 @@ def fill_forward(
             taken += take
         return v
 
-    ok = got & (extract(0, 1) > 0)
+    ok = unpad(got & (extract(0, 1) > 0))
+    got = unpad(got)
     values = []
     cursor = 1
     for _, bits in payloads:
-        values.append(extract(cursor, bits))
+        values.append(unpad(extract(cursor, bits)))
         cursor += bits
     return values, got, ok

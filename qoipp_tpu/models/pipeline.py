@@ -68,20 +68,17 @@ class BatchPipeline:
 
     # -- decode ------------------------------------------------------------
 
-    def _analyze_one(self, stream, size):
-        region = stream[14:]
-        q = jnp.arange(region.shape[0], dtype=jnp.int32)
-        region = jnp.where(q < size - 14, region, 0)  # zero beyond the stream
-        info = boundary.analyze_region(
-            region[: self.qb], size - 22, jnp.int32(self.n_px)
-        )
-        return region, info["real"], info["produced"], info["pix_before"]
-
     def _decode_impl(self, streams, sizes):
         from ..ops import replay_kernel as rk
 
-        regions, real, produced, pix_before = jax.vmap(self._analyze_one)(
-            streams, sizes
+        regions = streams[:, 14:]
+        q = jnp.arange(regions.shape[1], dtype=jnp.int32)[None, :]
+        regions = jnp.where(q < (sizes - 14)[:, None], regions, 0)
+        info = boundary.analyze_region_batch(
+            regions[:, : self.qb], sizes - 22, jnp.int32(self.n_px)
+        )
+        real, produced, pix_before = (
+            info["real"], info["produced"], info["pix_before"]
         )
         meta, val = dec_ops.fields_dense_batch(regions, real)  # (B, qb)
         b = meta.shape[0]

@@ -174,13 +174,14 @@ def main(argv=None):
         print("verification: all codecs bit-exact vs oracle")
 
     header = ["image", "codec", "enc ms", "dec ms", "enc MP/s", "dec MP/s",
-              "size KiB", "ratio %"]
+              "enc d%", "dec d%", "size KiB", "ratio %"]
     if not args.only_totals:
         print(fmt_row(header))
     totals = {}
     for name, raw, desc in images:
         n_px = desc.width * desc.height
         blob, _ = oracle.encode(raw, desc)
+        base_te = base_td = None
         for c in codecs:
             te = td = float("nan")
             size_b = blob.size
@@ -227,9 +228,18 @@ def main(argv=None):
                     else:
                         td = timed(lambda: drive_stream_decode(blob, desc),
                                    args.runs, warmup)
+            if c == "native":
+                base_te, base_td = te, td
+
+            def delta(x, base):
+                if x != x or not base or base != base:
+                    return "-"
+                return f"{100*(x-base)/base:+.0f}%"
+
             row = [name[:12], c, f"{te*1e3:.2f}", f"{td*1e3:.2f}",
                    f"{n_px/te/1e6:.1f}" if te == te else "-",
                    f"{n_px/td/1e6:.1f}" if td == td else "-",
+                   delta(te, base_te), delta(td, base_td),
                    f"{size_b/1024:.1f}",
                    f"{100*size_b/raw.size:.1f}"]
             if not args.only_totals:
@@ -261,14 +271,14 @@ def main(argv=None):
 
         td = timed(run, args.runs, warmup)
         print(fmt_row(["TOTAL", "jax-batch", "-", f"{td*1e3:.2f}", "-",
-                       f"{n_total/td/1e6:.1f}", "-", "-"]))
+                       f"{n_total/td/1e6:.1f}", "-", "-", "-", "-"]))
 
     for c, (te, td, npx) in totals.items():
         print(fmt_row([
             "TOTAL", c,
             f"{te*1e3:.2f}", f"{td*1e3:.2f}",
             f"{npx/te/1e6:.1f}" if te else "-",
-            f"{npx/td/1e6:.1f}" if td else "-", "-", "-",
+            f"{npx/td/1e6:.1f}" if td else "-", "-", "-", "-", "-",
         ]))
     return 0
 

@@ -56,7 +56,8 @@ class BatchPipeline:
         self.qb = _round_up(max(max_stream_len - 14, boundary.BLOCK), boundary.BLOCK)
         self.l_cap = 14 + self.qb + 8  # stream rows carry 8 bytes of slack
 
-        self.n_cap = _round_up(self.n_px, 128)
+        from ..ops import place_kernel
+        self.n_cap = _round_up(self.n_px, place_kernel.WIN)
 
         self.nb = enc_ops.pad_to_tile(self.n_px)
         self._header = jnp.asarray(
@@ -69,6 +70,7 @@ class BatchPipeline:
     # -- decode ------------------------------------------------------------
 
     def _decode_impl(self, streams, sizes):
+        from ..ops import place_kernel
         from ..ops import replay_kernel as rk
 
         regions = streams[:, 14:]
@@ -77,9 +79,7 @@ class BatchPipeline:
         info = boundary.analyze_region_batch(
             regions[:, : self.qb], sizes - 22, jnp.int32(self.n_px)
         )
-        real, produced, pix_before = (
-            info["real"], info["produced"], info["pix_before"]
-        )
+        real, pix_before = info["real"], info["pix_before"]
         meta, val = dec_ops.fields_dense_batch(regions, real)  # (B, qb)
         b = meta.shape[0]
         bpad = (-b) % 8
@@ -87,8 +87,9 @@ class BatchPipeline:
         meta_t = jnp.pad(meta, ((0, bpad), (0, qpad))).T  # (qb', B')
         val_t = jnp.pad(val, ((0, bpad), (0, qpad))).T
         emits = rk.replay_batch(meta_t, val_t).T[:b, : self.qb]  # (B, qb)
-        packed = dec_ops.expand_bytes_batch(
-            emits, real, produced, pix_before, self.n_cap
+        base = place_kernel.window_base_rows(pix_before, self.n_cap)
+        packed = place_kernel.place_fill(
+            pix_before, emits, base, self.n_cap
         )
         crafted = jnp.zeros(b, bool)  # the kernel path is exact for all input
         return packed, crafted

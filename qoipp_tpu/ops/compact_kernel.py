@@ -1,0 +1,208 @@
+"""Pallas TPU kernel: monotone stream compaction via MXU one-hot matmuls.
+
+The round-1 pipelines paid XLA's serial scatter price (~5-10 ns/element on
+this backend) over the *byte domain*: decode expanded pixels from one
+scatter element per stream byte, encode placed bytes from six scatter-adds
+per pixel.  Both scatters have monotone target indices whose only
+irregularity is *compaction* — most rows are masked out (NOP bytes / run
+pixels).  This kernel removes that irregularity with dense hardware:
+
+  out[p][gidx[r]] = plane[p][r]   for every kept row r,
+  gidx = exclusive running count of kept rows  (monotone, step <= 1)
+
+Per block of K rows the kept rows land in a K+128-wide aligned window
+[r0 - r0%128, ...); placing them is a (K x 128)-shaped one-hot matmul per
+128-row output stripe — exactly the MXU's shape.  Values are split into
+16-bit halves so every f32 product/sum is an exact integer < 2^24.  A
+"pending row" scratch carries the partially-filled last 128-lane row
+between consecutive blocks (the Pallas grid is sequential per core), and
+each block DMAs its aligned window straight to HBM at an element-granular
+offset — no XLA scatter anywhere.
+
+Downstream, scatters run over the compacted chunk domain (5-50x fewer
+elements), which is what moves decode expansion and encode emission off
+the serial-scatter floor (reference hot loops: source/simple.cpp:36-89,
+111-170 — one sequential byte/pixel at a time; here the compaction is
+O(K) dense work on the MXU per K rows).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLK = 2048  # rows per grid step (K); must be a multiple of 128
+
+
+def _compact_kernel(nplanes: int, sout: int, gidx_ref, keep_ref, *rest):
+    """rest = plane_refs(nplanes) + out_refs(nplanes, ANY) + scratch:
+    pend (8, 128) f32 x (2*nplanes rows used), obuf (nplanes, sout, 128)
+    u32, sem (nplanes,) DMA semaphores."""
+    plane_refs = rest[:nplanes]
+    out_refs = rest[nplanes : 2 * nplanes]
+    pend_ref, obuf_ref, sem_ref = rest[2 * nplanes :]
+
+    j = pl.program_id(1)
+    r = gidx_ref.shape[2]  # rows of 128 lanes per block (BLK // 128)
+
+    @pl.when(j == 0)
+    def _reset():
+        pend_ref[:, :] = jnp.zeros_like(pend_ref)
+
+    gidx = gidx_ref[0, 0].astype(jnp.int32)  # (r, 128)
+    keep = keep_ref[0, 0] != 0  # (r, 128)
+
+    r0 = gidx[0, 0]
+    rot = jax.lax.rem(r0, 128)
+    row0 = jax.lax.div(r0, 128)
+
+    # local flat target in [rot, rot + BLK); masked rows -> -1 (no one-hot hit)
+    t = jnp.where(keep, gidx - r0 + rot, -1)
+    ts = t // 128  # target stripe in [0, sout)
+    tl = jnp.where(keep, t - ts * 128, -1)  # target lane
+
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (r, 128, 128), 2)
+    bmat = (tl[:, :, None] == lane_ids).astype(jnp.float32)  # (r, 128, 128)
+
+    nh = 2 * nplanes  # 16-bit halves
+    halves = []
+    for p in range(nplanes):
+        v = plane_refs[p][0, 0]  # (r, 128) uint32
+        # Mosaic has no u32->f32 cast; the halves fit int32 exactly.
+        halves.append((v & 0xFFFF).astype(jnp.int32).astype(jnp.float32))
+        halves.append((v >> 16).astype(jnp.int32).astype(jnp.float32))
+
+    # acc[(h, s), l] += sum_c halves[h][rr, c] * (ts[rr, c] == s) * bmat[rr, c, l]
+    stripe_ids = jax.lax.broadcasted_iota(jnp.int32, (sout, 128), 0)
+    acc = jnp.zeros((nh * sout, 128), jnp.float32)
+    for rr in range(r):
+        hot = ts[rr][None, :] == stripe_ids  # (sout, 128) per-column stripe hit
+        a_rows = [
+            jnp.where(hot, halves[h][rr][None, :], 0.0) for h in range(nh)
+        ]
+        a = jnp.concatenate(a_rows, axis=0)  # (nh*sout, 128)
+        acc = acc + jax.lax.dot(
+            a, bmat[rr], precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+
+    # merge the carried partial row into stripe 0 of every half
+    pend = pend_ref[:, :]  # (8, 128) f32, rows [0, nh) used
+    sections = []
+    for h in range(nh):
+        sec = acc[h * sout : (h + 1) * sout]  # (sout, 128)
+        sec = jnp.concatenate([sec[:1] + pend[h][None, :], sec[1:]], axis=0)
+        sections.append(sec)
+
+    # new pending = the partially-filled row at the window's write frontier
+    cov = jnp.sum(keep.astype(jnp.int32))
+    endpos = rot + cov
+    last_row = endpos // 128
+    newrot = endpos - last_row * 128
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (sout, 128), 0)
+    for h in range(nh):
+        # dynamic row extract via one-hot sum (no dynamic_slice in Mosaic)
+        tail = jnp.sum(
+            jnp.where(row_ids == last_row, sections[h], 0.0),
+            axis=0, keepdims=True,
+        )
+        pend_ref[h, :] = jnp.where(lane1 < newrot, tail, 0.0)[0]
+
+    for p in range(nplanes):
+        # f32 -> i32 is the supported path; halves are < 2^16 so the
+        # int32 bit patterns equal the uint32 ones.
+        lo = sections[2 * p].astype(jnp.int32)
+        hi = sections[2 * p + 1].astype(jnp.int32)
+        obuf_ref[p] = (lo | (hi << 16)).astype(jnp.uint32)
+
+    b = pl.program_id(0)
+    for p in range(nplanes):
+        dma = pltpu.make_async_copy(
+            obuf_ref.at[p],
+            out_refs[p].at[b, pl.ds(row0, sout), :],
+            sem_ref.at[p],
+        )
+        dma.start()
+    for p in range(nplanes):
+        pltpu.make_async_copy(
+            obuf_ref.at[p],
+            out_refs[p].at[b, pl.ds(row0, sout), :],
+            sem_ref.at[p],
+        ).wait()
+
+
+@partial(jax.jit, static_argnames=("cap", "blk", "interpret"))
+def compact_rows(planes, keep, cap: int, blk: int = BLK,
+                 interpret: bool | None = None):
+    """Compact kept rows of one or more (B, N) uint32 planes to the front.
+
+    planes: tuple of (B, N) uint32 — values to compact (same keep mask).
+    keep:   (B, N) bool — which rows survive.
+    cap:    static output width; must satisfy cap % 128 == 0 and
+            cap >= max_b(count_b) rounded up so that every write window
+            [gidx - gidx%128, +blk+128) fits: cap >= counts.max() + blk + 128.
+
+    Returns (compacted: tuple of (B, cap) uint32, counts: (B,) int32).
+    Rows beyond counts[b] are unspecified — mask downstream.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, n = keep.shape
+    assert n % blk == 0 and blk % 128 == 0 and cap % 128 == 0
+    nplanes = len(planes)
+    sout = blk // 128 + 1
+    assert cap >= blk + 128, "cap too small for one write window"
+
+    keep_i = keep.astype(jnp.uint32)
+    incl = jnp.cumsum(keep_i, axis=1, dtype=jnp.uint32).astype(jnp.int32)
+    counts = incl[:, -1]
+    gidx = incl - keep_i.astype(jnp.int32)  # exclusive
+
+    nblk = n // blk
+    r = blk // 128
+    shape4 = (b, nblk, r, 128)
+    blkspec = pl.BlockSpec(
+        (1, 1, r, 128), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+    )
+    cap_rows = cap // 128
+
+    kernel = partial(_compact_kernel, nplanes, sout)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b, nblk),
+        in_specs=[blkspec, blkspec] + [blkspec] * nplanes,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * nplanes,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, cap_rows, 128), jnp.uint32)
+        ] * nplanes,
+        scratch_shapes=[
+            pltpu.VMEM((8, 128), jnp.float32),
+            pltpu.VMEM((nplanes, sout, 128), jnp.uint32),
+            pltpu.SemaphoreType.DMA((nplanes,)),
+        ],
+        interpret=interpret,
+    )(
+        gidx.reshape(shape4),
+        keep_i.reshape(shape4),
+        *[p.reshape(shape4) for p in planes],
+    )
+    return tuple(o.reshape(b, cap) for o in outs), counts
+
+
+def compact_rows_reference(planes, keep, cap: int):
+    """Pure-XLA oracle for tests: gather-based compaction (slow on TPU)."""
+    b, n = keep.shape
+    gidx = jnp.cumsum(keep.astype(jnp.int32), axis=1) - keep.astype(jnp.int32)
+    counts = gidx[:, -1] + keep[:, -1].astype(jnp.int32)
+    idx = jnp.where(keep, gidx, cap)
+    outs = []
+    for pl_ in planes:
+        out = jnp.zeros((b, cap + 1), jnp.uint32)
+        out = jax.vmap(lambda o, i, v: o.at[i].set(v))(out, idx, pl_)
+        outs.append(out[:, :cap])
+    return tuple(outs), counts

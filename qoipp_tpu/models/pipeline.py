@@ -40,12 +40,18 @@ class BatchPipeline:
     desc: image geometry (width/height/channels shared by the batch).
     max_stream_len: longest QOI stream (bytes) the decode path must accept;
         defaults to worst_size(desc).  Tighter bounds shorten the replay.
+    max_encode_len: longest QOI stream the encode path may produce;
+        defaults to worst_size(desc).  Tighter bounds shrink the encode
+        emission kernel's output sweep and the chunk-compaction buffers
+        (chunk count <= stream bytes); images that overflow the bound are
+        flagged by encode_checked, and encode() raises on them.
     """
 
     def __init__(
         self,
         desc: Desc,
         max_stream_len: Optional[int] = None,
+        max_encode_len: Optional[int] = None,
     ):
         self.desc = desc
         self.channels = int(desc.channels)
@@ -53,6 +59,7 @@ class BatchPipeline:
 
         worst = (self.channels + 1) * self.n_px + 22
         max_stream_len = max_stream_len or worst
+        self.max_encode_len = max_encode_len or worst
         self.qb = _round_up(max(max_stream_len - 14, boundary.BLOCK), boundary.BLOCK)
         self.l_cap = 14 + self.qb + 8  # stream rows carry 8 bytes of slack
 
@@ -91,18 +98,11 @@ class BatchPipeline:
         packed = place_kernel.place_fill(
             pix_before, emits, base, self.n_cap
         )
-        crafted = jnp.zeros(b, bool)  # the kernel path is exact for all input
-        return packed, crafted
+        return packed  # the kernel path is exact for all input, incl. crafted
 
     def decode_packed(self, streams, sizes):
         """(B, l_cap) u8 streams + (B,) sizes -> (B, n_cap) packed uint32
         pixels (device-resident; [:, :n_px] are valid)."""
-        packed, _ = self._decode(streams, sizes)
-        return packed
-
-    def decode_packed_checked(self, streams, sizes):
-        """Like decode_packed but also returns the per-image crafted-stream
-        flags (True -> decode that image with the sequential oracle)."""
         return self._decode(streams, sizes)
 
     def decode(self, streams, sizes, target: Optional[Channels] = None):
@@ -114,13 +114,31 @@ class BatchPipeline:
     # -- encode ------------------------------------------------------------
 
     def _encode_impl(self, packed):
-        return enc_ops.encode_batch(
-            packed, jnp.int32(self.n_px), self._header, channels=self.channels
+        # chunk count is bounded both by emitting pixels and stream bytes
+        chunk_cap = min(self.nb, self.max_encode_len)
+        return enc_ops.encode_batch_checked(
+            packed, jnp.int32(self.n_px), self._header,
+            channels=self.channels,
+            chunk_cap=chunk_cap + 2048 + 256,
+            out_cap=self.max_encode_len,
         )
 
     def encode_packed(self, packed):
-        """(B, nb) packed uint32 pixels -> ((B, w_cap) u8 streams, (B,)
-        lengths)."""
+        """(B, nb) packed uint32 pixels -> ((B, out_cap) u8 streams, (B,)
+        lengths).  Raises if any image overflows max_encode_len."""
+        out, lengths, ok = self._encode(packed)
+        if not bool(jnp.all(ok)):
+            raise ValueError(
+                "encode overflow: an image exceeded max_encode_len="
+                f"{self.max_encode_len}; re-create the pipeline with a "
+                "larger bound (default: worst size) for these images"
+            )
+        return out, lengths
+
+    def encode_packed_checked(self, packed):
+        """Like encode_packed but returns (streams, lengths, ok) without
+        raising; streams flagged not-ok must be re-encoded with a larger
+        bound."""
         return self._encode(packed)
 
     def encode(self, raws):
@@ -130,7 +148,7 @@ class BatchPipeline:
         pad = self.nb - self.n_px
         if pad:
             packed = jnp.pad(packed, ((0, 0), (0, pad)))
-        return self._encode(packed)
+        return self.encode_packed(packed)
 
     # -- host conveniences -------------------------------------------------
 

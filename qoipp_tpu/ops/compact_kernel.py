@@ -121,6 +121,11 @@ def _compact_kernel(nplanes: int, sout: int, gidx_ref, keep_ref, *rest):
         obuf_ref[p] = (lo | (hi << 16)).astype(jnp.uint32)
 
     b = pl.program_id(0)
+    # Clamp keeps the DMA in bounds even if a caller-supplied cap is
+    # exceeded (output is then garbage past the cap, never OOB; callers
+    # detect via counts — see encode_batch_checked).
+    cap_rows = out_refs[0].shape[1]
+    row0 = jnp.minimum(row0, cap_rows - sout)
     for p in range(nplanes):
         dma = pltpu.make_async_copy(
             obuf_ref.at[p],

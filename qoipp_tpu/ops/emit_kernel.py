@@ -1,0 +1,248 @@
+"""Pallas TPU kernel: output-driven byte placement for the parallel encoder.
+
+Round-1 emitted encode bytes with six sorted XLA scatter-adds over the
+(B, worst_size) output (~5-10 ns/element serial floor — device encode ran
+at 8 MPix/s, 30-100x below the CPU oracle).  This kernel replaces those
+scatters entirely.  It consumes the *compacted* chunk stream (one row per
+emitting pixel, ops/compact_kernel.py) and writes the final byte stream:
+
+  * The output stream is tiled into WIN-byte windows, one per grid step.
+    A window's writers are the chunk rows whose byte offset lands inside
+    it — at most WIN rows, because every compacted chunk emits >= 1 byte
+    (and <= 6: an optional run-flush byte + a 1/2/4/5-byte op), so the
+    candidate bound is static: WIN/128 slabs plus alignment slack.
+  * Candidate chunk rows stream in as 128-row slabs through a manually
+    double-buffered DMA with a per-window dynamic trip count (the same
+    transport pattern as ops/place_kernel.py — the Pallas element-indexed
+    pipeline does not overlap dynamic-offset fetches).
+  * Placement is one MXU one-hot matmul per slab: rows carry three exact
+    f32 planes holding the 6-byte chunk template as 16-bit halves (+1
+    written-flag bias on the first), landing at stripe off>>7 / lane
+    off&127 of the window.  Row r is a real chunk start iff off[r+1] >
+    off[r] (compaction appends only rows with nbytes >= 1; padding and
+    post-sentinel rows are flat), so masking needs no extra plane.
+  * Intra-chunk bytes are reconstructed by 3 log-shift fill passes that
+    carry (template halves, distance-from-chunk-start); a 4-scalar SMEM
+    carry continues a chunk across window boundaries.  Byte k of a chunk
+    is extracted from half k>>1 — byte offsets are contiguous, so every
+    in-stream position is within 5 bytes of its chunk start.
+
+Reference semantics reproduced: the encoder's sequential ChunkArray
+emission — reference source/simple.cpp:36-95 and util.hpp:116-252 — i.e.
+the byte-exact stream layout [header | chunks | trailing run? | marker].
+The trailing run and end marker ride in as two appended template rows
+(plus a sentinel so the last real row passes the covers test), see
+ops/encode.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .place_kernel import _flat_shift
+
+WIN = 8192          # output bytes per window (= per grid step)
+SW = WIN // 128     # output stripes per window
+LENR = SW + 24      # candidate slabs fetched per step (worst case + align)
+_F32_HI = jax.lax.Precision.HIGHEST
+
+
+def _emit_kernel(base_ref, off_hbm, tlo_hbm, thn_hbm, out_ref,
+                 off_buf, tlo_buf, thn_buf, sems, carry_ref):
+    b = pl.program_id(0)
+    s = pl.program_id(1)
+    nsteps = pl.num_programs(1)
+
+    def issue(slot, bb, ss):
+        ba = (base_ref[bb, ss] // 8) * 8
+        pltpu.make_async_copy(
+            off_hbm.at[bb, pl.ds(ba, LENR), :], off_buf.at[slot],
+            sems.at[slot, 0]).start()
+        pltpu.make_async_copy(
+            tlo_hbm.at[bb, pl.ds(ba, LENR), :], tlo_buf.at[slot],
+            sems.at[slot, 1]).start()
+        pltpu.make_async_copy(
+            thn_hbm.at[bb, pl.ds(ba, LENR), :], thn_buf.at[slot],
+            sems.at[slot, 2]).start()
+
+    def wait(slot, bb, ss):
+        ba = (base_ref[bb, ss] // 8) * 8
+        pltpu.make_async_copy(
+            off_hbm.at[bb, pl.ds(ba, LENR), :], off_buf.at[slot],
+            sems.at[slot, 0]).wait()
+        pltpu.make_async_copy(
+            tlo_hbm.at[bb, pl.ds(ba, LENR), :], tlo_buf.at[slot],
+            sems.at[slot, 1]).wait()
+        pltpu.make_async_copy(
+            thn_hbm.at[bb, pl.ds(ba, LENR), :], thn_buf.at[slot],
+            sems.at[slot, 2]).wait()
+
+    slot = jax.lax.rem(s, 2)
+
+    @pl.when(s == 0)
+    def _prologue():
+        carry_ref[0] = 0
+        carry_ref[1] = 0
+        carry_ref[2] = 0
+        carry_ref[3] = 8  # distance sentinel: pre-header bytes extract as 0
+        issue(slot, b, s)
+
+    wait(slot, b, s)
+
+    @pl.when(s + 1 < nsteps)
+    def _prefetch():
+        issue(1 - slot, b, s + 1)
+
+    w0 = s * WIN
+    off_full = off_buf[slot, :, :]   # (LENR, 128) i32
+    last_off = off_full[:, 127:128]
+    first_off = off_full[:, 0:1]
+
+    lr = jnp.sum((last_off < w0).astype(jnp.int32))
+    n = jnp.sum(
+        ((first_off < w0 + WIN) & (last_off >= w0)).astype(jnp.int32)
+    ) + 1
+    n = jnp.minimum(n, LENR - 1 - lr)
+
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    stripe_ids = jax.lax.broadcasted_iota(jnp.int32, (SW, 128), 0)
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 1)
+
+    def trip(rr, acc):
+        offr2 = off_buf[slot, pl.ds(lr + rr, 2), :]  # rows r, r+1
+        offr = offr2[0:1]  # (1, 128)
+        rolled = pltpu.roll(offr2, 127, axis=1)  # = roll by -1 mod 128
+        down = jnp.concatenate([rolled[1:], rolled[:1]], axis=0)
+        nxt = jnp.where(lane1 < 127, rolled, down)[0:1]
+        covers = nxt > offr  # real chunk row (emits >= 1 byte)
+
+        t = offr - w0
+        m = covers & (t >= 0) & (t < WIN)
+        ts = jnp.where(m, t >> 7, -1)
+        tl = jnp.where(m, t & 127, -1)
+
+        tlo = pltpu.bitcast(tlo_buf[slot, pl.ds(lr + rr, 1), :], jnp.int32)
+        thn = pltpu.bitcast(thn_buf[slot, pl.ds(lr + rr, 1), :], jnp.int32)
+        h0 = ((tlo & 0xFFFF) + 1).astype(jnp.float32)  # +1 = written flag
+        h1 = ((tlo >> 16) & 0xFFFF).astype(jnp.float32)
+        h2 = (thn & 0xFFFF).astype(jnp.float32)
+
+        hot = ts == stripe_ids  # (SW, 128)
+        a = jnp.concatenate(
+            [jnp.where(hot, h0, 0.0),
+             jnp.where(hot, h1, 0.0),
+             jnp.where(hot, h2, 0.0)], axis=0)
+        bm = (tl[0][:, None] == lanes).astype(jnp.float32)
+        return acc + jax.lax.dot(
+            a, bm, precision=_F32_HI, preferred_element_type=jnp.float32)
+
+    acc = jax.lax.fori_loop(
+        0, n, trip, jnp.zeros((3 * SW, 128), jnp.float32))
+
+    h0 = acc[:SW].astype(jnp.int32)
+    h1 = acc[SW:2 * SW].astype(jnp.int32)
+    h2 = acc[2 * SW:].astype(jnp.int32)
+    flag = (h0 != 0).astype(jnp.int32)
+    h0 = h0 - flag
+    d = jnp.zeros((SW, 128), jnp.int32)
+
+    for k in (1, 2, 4):  # chunk length <= 6 => every byte within 5 of start
+        take = flag == 0
+        h0 = jnp.where(take, _flat_shift(h0, k), h0)
+        h1 = jnp.where(take, _flat_shift(h1, k), h1)
+        h2 = jnp.where(take, _flat_shift(h2, k), h2)
+        d = jnp.where(take, _flat_shift(d, k) + k, d)
+        flag = flag | _flat_shift(flag, k)
+
+    flatpos = stripe_ids * 128 + jax.lax.broadcasted_iota(
+        jnp.int32, (SW, 128), 1)
+    filled = flag != 0
+    fh0 = jnp.where(filled, h0, carry_ref[0])
+    fh1 = jnp.where(filled, h1, carry_ref[1])
+    fh2 = jnp.where(filled, h2, carry_ref[2])
+    fd = jnp.where(filled, d, jnp.minimum(carry_ref[3] + 1 + flatpos, 8))
+
+    carry_ref[0] = fh0[SW - 1, 127]
+    carry_ref[1] = fh1[SW - 1, 127]
+    carry_ref[2] = fh2[SW - 1, 127]
+    carry_ref[3] = jnp.minimum(fd[SW - 1, 127], 8)
+
+    dc = jnp.minimum(fd, 7)
+    hi = dc >> 1  # half index 0..3 (3 => past chunk end, byte 0)
+    half = jnp.where(hi == 0, fh0, jnp.where(hi == 1, fh1,
+                     jnp.where(hi == 2, fh2, 0)))
+    out_ref[0] = (half >> (8 * (dc & 1))) & 0xFF
+
+
+@partial(jax.jit, static_argnames=("out_cap", "interpret"))
+def emit_bytes(off, tlo, thn, base_step, out_cap: int,
+               interpret: bool | None = None):
+    """Materialize the encoded byte stream from compacted chunk rows.
+
+    off:  (B, C) int32 — byte offset of each chunk (14 + exclusive prefix
+          sum of per-chunk byte counts); nondecreasing, strictly increasing
+          on real rows; flat on padding.  C % 128 == 0.
+    tlo:  (B, C) uint32 — template bytes 0..3, little-endian.
+    thn:  (B, C) uint32 — bits 0..15: template bytes 4..5; upper bits
+          ignored here (ops/encode.py stores the byte count there).
+    base_step: (B, out_cap//WIN) int32 lower bound (in 128-row slabs) on
+          each window's first candidate slab — see window_base_rows.
+    out_cap: output bytes per image; out_cap % WIN == 0.
+
+    Returns (B, out_cap) int32, one byte value per element (positions
+    before offset 14 and beyond the end marker read 0).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, c = off.shape
+    assert c % 128 == 0 and out_cap % WIN == 0
+    nsteps = out_cap // WIN
+    assert base_step.shape == (b, nsteps)
+
+    cr = c // 128
+    pad_r = LENR + 8
+    off3 = jnp.pad(
+        off.reshape(b, cr, 128), ((0, 0), (0, pad_r), (0, 0)),
+        constant_values=out_cap + WIN,
+    )
+    tlo3 = jnp.pad(tlo.reshape(b, cr, 128), ((0, 0), (0, pad_r), (0, 0)))
+    thn3 = jnp.pad(thn.reshape(b, cr, 128), ((0, 0), (0, pad_r), (0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nsteps),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, SW, 128), lambda i, j, ref: (i, j, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, LENR, 128), jnp.int32),
+            pltpu.VMEM((2, LENR, 128), jnp.uint32),
+            pltpu.VMEM((2, LENR, 128), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SMEM((4,), jnp.int32),
+        ],
+    )
+    out = pl.pallas_call(
+        _emit_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, out_cap // 128, 128), jnp.int32),
+        interpret=interpret,
+    )(base_step, off3, tlo3, thn3)
+    return out.reshape(b, out_cap)
+
+
+def window_base_rows(off, out_cap: int):
+    """(B, nwin) int32: #128-row slabs whose last off < w*WIN — a safe
+    lower bound (in slab units) on window w's first candidate slab."""
+    nwin = out_cap // WIN
+    lastoff = off[:, 127::128]  # (B, C/128)
+    bounds = (jnp.arange(nwin, dtype=jnp.int32) * WIN)[None, None, :]
+    return jnp.sum((lastoff[:, :, None] < bounds).astype(jnp.int32), axis=1)

@@ -76,29 +76,48 @@ def _last_same_hash_value(packed, h, noneq, incoming=None):
     )
     lastj = jnp.max(jnp.where(pair, j_ids[None, None, :], -1), axis=2)  # (s, TILE)
     local_found = lastj >= 0
-    local_val = jnp.take_along_axis(ph, jnp.maximum(lastj, 0), axis=1)
+    # value select via one-hot mask-sum — NOT take_along_axis: gather sits
+    # at this backend's ~5-10 ns/element serial floor (CLAUDE.md), and the
+    # three gathers here measured ~150 ms/image at 1080p.  Dense compare +
+    # masked sum is pure VPU work.
+    local_hot = lastj[:, :, None] == j_ids[None, None, :]  # (s, TILE, TILE)
+    local_val = jnp.sum(
+        jnp.where(local_hot, ph[:, None, :], jnp.uint32(0)), axis=2
+    )
 
     # Micro-tile summary: per hash slot, the last differing pixel in the tile.
     slot_ids = jnp.arange(64, dtype=jnp.int32)
     covers = (hh[:, None, :] == slot_ids[None, :, None]) & ne[:, None, :]  # (s,64,TILE)
     tj = jnp.max(jnp.where(covers, j_ids[None, None, :], -1), axis=2)  # (s, 64)
     t_written = tj >= 0
-    t_val = jnp.take_along_axis(ph, jnp.maximum(tj, 0), axis=1)  # only valid where written
+    t_hot = tj[:, :, None] == j_ids[None, None, :]  # (s, 64, TILE)
+    t_val = jnp.sum(jnp.where(t_hot, ph[:, None, :], jnp.uint32(0)), axis=2)
 
-    # Cross-tile exclusive overwrite-scan of (value, written) summaries.
-    def combine(a, b):
-        av, aw = a
-        bv, bw = b
-        return jnp.where(bw, bv, av), aw | bw
-
-    sv, sw = jax.lax.associative_scan(combine, (t_val, t_written), axis=0)
+    # Cross-tile exclusive overwrite-scan of (value, written) summaries —
+    # hand-rolled log-shift forward fill: plain padded slices, no relayouts
+    # (jax.lax.associative_scan's odd/even recursion measured ~4 ms/image
+    # here; this is ~10x cheaper).
+    sv, sw = t_val, t_written
+    k = 1
+    while k < s:
+        zv = jnp.zeros((k, 64), sv.dtype)
+        zw = jnp.zeros((k, 64), bool)
+        pv = jnp.concatenate([zv, sv[:-k]], axis=0)
+        pw = jnp.concatenate([zw, sw[:-k]], axis=0)
+        sv = jnp.where(sw, sv, pv)
+        sw = sw | pw
+        k *= 2
     if incoming is None:
         incoming = jnp.zeros(64, jnp.uint32)  # fresh table reads as packed 0
     inc_v = jnp.concatenate([incoming[None, :], sv[:-1]], axis=0)
     inc_w = jnp.concatenate([jnp.ones((1, 64), bool), sw[:-1]], axis=0)
     incoming = jnp.where(inc_w, inc_v, incoming[None, :])
 
-    inc_at_px = jnp.take_along_axis(incoming, hh, axis=1)  # (s, TILE)
+    # slot lookup per pixel, again as a one-hot mask-sum over the 64 slots
+    slot_hot = hh[:, :, None] == slot_ids[None, None, :]  # (s, TILE, 64)
+    inc_at_px = jnp.sum(
+        jnp.where(slot_hot, incoming[:, None, :], jnp.uint32(0)), axis=2
+    )
     return jnp.where(local_found, local_val, inc_at_px).reshape(-1)
 
 
@@ -235,8 +254,9 @@ def _encode_fields(packed, n_px, channels: int,
 
 
 @partial(jax.jit, static_argnames=("channels",))
-def encode_core(packed, n_px, header, channels: int):
-    """Encode one image's packed pixels into a QOI byte stream.
+def encode_core_scatter(packed, n_px, header, channels: int):
+    """XLA-scatter reference emission (single image) — kept as the pure-XLA
+    differential oracle for the kernel path; production is encode_core.
 
     packed:  (Nb,) uint32 RGBA words, Nb % TILE == 0 (padding arbitrary).
     n_px:    real pixel count (traced scalar), 1 <= n_px <= Nb.
@@ -273,15 +293,15 @@ def encode_core(packed, n_px, header, channels: int):
 
 
 @partial(jax.jit, static_argnames=("channels",))
-def encode_batch(packed, n_px, header, channels: int):
-    """Batched encode: (B, Nb) packed pixels -> ((B, w_cap) u8, (B,) i32).
+def encode_batch_scatter(packed, n_px, header, channels: int):
+    """XLA-scatter reference emission (batched) — differential oracle for
+    the kernel path; production is encode_batch.
 
-    vmapping encode_core would batch its scatter-adds, which silently
-    drops XLA's sorted-indices fast path (measured ~50x slower on TPU).
-    Instead the per-image offsets are lifted into ONE flat index space
-    (row-major, so b*(w_cap+1) + offset stays globally sorted) and each of
-    the six byte-lane scatters plus the tail scatter runs once for the
-    whole batch.
+    vmapping the scatter-adds would silently drop XLA's sorted-indices
+    fast path (measured ~50x slower on TPU), so per-image offsets are
+    lifted into ONE flat index space (row-major, so b*(w_cap+1) + offset
+    stays globally sorted) and each of the six byte-lane scatters plus the
+    tail scatter runs once for the whole batch.
     """
     b, nb = packed.shape
     template, nbytes, tail, has_trail = jax.vmap(
@@ -318,6 +338,141 @@ def encode_batch(packed, n_px, header, channels: int):
         jnp.arange(w_cap, dtype=jnp.int32)[None, :] < total_len[:, None], out, 0
     )
     return out, total_len
+
+
+# ---------------------------------------------------------------------------
+# Production emission: compact (MXU one-hot) + output-driven byte placement.
+#
+# The scatter paths above hit the platform's ~5-10 ns/element serial-scatter
+# floor (device encode measured 8 MPix/s at B=128 in round 1).  The kernel
+# path compacts emitting pixels into dense chunk rows (ops/compact_kernel)
+# and materializes bytes with the output-driven Pallas emit kernel
+# (ops/emit_kernel) — no XLA scatter in the hot path.  Bit-exact with the
+# reference's sequential emitter (source/simple.cpp:36-95).
+# ---------------------------------------------------------------------------
+
+
+def _pack_template_planes(template, nbytes):
+    """(..., 6) u8 templates + byte counts -> two u32 planes.
+
+    tlo: template bytes 0..3 little-endian; thn: bytes 4..5 in the low
+    halfword, the per-pixel emitted byte count in the high halfword.
+    """
+    t = template.astype(jnp.uint32)
+    tlo = t[..., 0] | (t[..., 1] << 8) | (t[..., 2] << 16) | (t[..., 3] << 24)
+    thn = t[..., 4] | (t[..., 5] << 8) | (nbytes.astype(jnp.uint32) << 16)
+    return tlo, thn
+
+
+@partial(jax.jit, static_argnames=("channels", "chunk_cap", "out_cap"))
+def _encode_kernel_impl(packed, n_px, header, channels: int,
+                        chunk_cap: int, out_cap: int):
+    from .compact_kernel import BLK as CBLK
+    from .compact_kernel import compact_rows
+    from . import emit_kernel
+
+    b, nb = packed.shape
+    template, nbytes, tail, has_trail = jax.vmap(
+        lambda p: _encode_fields(p, n_px, channels)
+    )(packed)
+    tlo, thn = _pack_template_planes(template, nbytes)
+    keep = nbytes > 0
+    pad = (-nb) % CBLK
+    if pad:
+        tlo = jnp.pad(tlo, ((0, 0), (0, pad)))
+        thn = jnp.pad(thn, ((0, 0), (0, pad)))
+        keep = jnp.pad(keep, ((0, 0), (0, pad)))
+
+    (tlo_c, thn_c), counts = compact_rows((tlo, thn), keep, cap=chunk_cap)
+    rows = jnp.arange(chunk_cap, dtype=jnp.int32)[None, :]
+    valid = rows < counts[:, None]
+    tlo_c = jnp.where(valid, tlo_c, 0)
+    thn_c = jnp.where(valid, thn_c, 0)
+
+    # Trailing run + end marker ride in as two appended template rows; a
+    # third 1-byte sentinel keeps the last real row covered in the emit
+    # kernel (its masked garbage byte lands at total_len and is zeroed).
+    t32 = tail.astype(jnp.uint32)  # (B, 9)
+    row1_tlo = t32[:, 0] | (t32[:, 1] << 8) | (t32[:, 2] << 16) | (t32[:, 3] << 24)
+    row1_thn = t32[:, 4] | (t32[:, 5] << 8) | (jnp.uint32(6) << 16)
+    row2_tlo = t32[:, 6] | (t32[:, 7] << 8) | (t32[:, 8] << 16)
+    row2_thn = (2 + has_trail.astype(jnp.uint32)) << 16
+    sent_tlo = jnp.zeros_like(row1_tlo)
+    sent_thn = jnp.full_like(row1_thn, np.uint32(1 << 16))
+    app_tlo = jnp.stack([row1_tlo, row2_tlo, sent_tlo], axis=1)
+    app_thn = jnp.stack([row1_thn, row2_thn, sent_thn], axis=1)
+    upd = jax.vmap(
+        lambda p, v, c: jax.lax.dynamic_update_slice(p, v, (c,))
+    )
+    tlo_c = upd(tlo_c, app_tlo, counts)
+    thn_c = upd(thn_c, app_thn, counts)
+
+    nb_c = (thn_c >> 16).astype(jnp.int32)
+    off = 14 + jnp.cumsum(nb_c, axis=1) - nb_c
+    total_len = 14 + jnp.sum(nb_c, axis=1) - 1  # sentinel byte excluded
+
+    base = emit_kernel.window_base_rows(off, out_cap)
+    words = emit_kernel.emit_bytes(off, tlo_c, thn_c, base, out_cap)
+    out = words.astype(jnp.uint8)
+    out = out.at[:, :14].set(header[None, :].astype(jnp.uint8))
+    col = jnp.arange(out_cap, dtype=jnp.int32)[None, :]
+    out = jnp.where(col < total_len[:, None], out, 0)
+    ok = (counts + CBLK + 128 <= chunk_cap) & (total_len <= out_cap)
+    return out, total_len, ok
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def encode_batch_checked(packed, n_px, header, channels: int, *,
+                         chunk_cap: int | None = None,
+                         out_cap: int | None = None):
+    """Batched kernel-path encode -> ((B, out_cap) u8, (B,) i32 lengths,
+    (B,) bool ok).
+
+    chunk_cap bounds per-image emitting-pixel count (default: safe for any
+    input).  out_cap bounds the stream length (default: worst size).  With
+    both defaults `ok` is always True; callers passing tighter caps (e.g.
+    a round-trip pipeline that knows its corpus) must re-encode images
+    whose flag is False through a safe path.
+    """
+    from .compact_kernel import BLK as CBLK
+    from . import emit_kernel
+
+    b, nb = packed.shape
+    if chunk_cap is None:
+        chunk_cap = nb + CBLK + 256
+    chunk_cap = _round_up(max(chunk_cap, CBLK + 256), 128)
+    if out_cap is None:
+        out_cap = (channels + 1) * nb + 14 + 8 + 9
+    out_cap = _round_up(out_cap, emit_kernel.WIN)
+    return _encode_kernel_impl(
+        packed, n_px, header, channels, chunk_cap, out_cap
+    )
+
+
+def encode_batch(packed, n_px, header, channels: int, *,
+                 chunk_cap: int | None = None, out_cap: int | None = None):
+    """Batched encode: (B, Nb) packed pixels -> ((B, out_cap) u8, (B,) i32).
+
+    Production path: MXU compaction + Pallas emit kernel (see module
+    comment above).  Bit-exact with the reference for every input when the
+    caps are left at their safe defaults.
+    """
+    out, total_len, _ = encode_batch_checked(
+        packed, n_px, header, channels, chunk_cap=chunk_cap, out_cap=out_cap
+    )
+    return out, total_len
+
+
+def encode_core(packed, n_px, header, channels: int):
+    """Encode one image's packed pixels into a QOI byte stream (kernel
+    path; see encode_batch).  Returns (out_bytes, total_len)."""
+    out, total_len = encode_batch(
+        packed[None, :], n_px, header, channels
+    )
+    return out[0], total_len[0]
 
 
 def pad_to_tile(n: int) -> int:

@@ -13,8 +13,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..common import Channels, Desc, write_header
+from ..utils.timing import enable_compile_cache
 from . import encode as enc_ops
 from .bitops import pixels_to_packed
+
+# Per-shape codec compiles take tens of seconds through the remoted TPU
+# runtime; share them across processes unless the user already configured
+# a cache location.
+if jax.config.jax_compilation_cache_dir is None:
+    enable_compile_cache()
 
 
 def encode_single(raw: np.ndarray, desc: Desc) -> np.ndarray:
@@ -41,7 +48,8 @@ def encode_single(raw: np.ndarray, desc: Desc) -> np.ndarray:
 
 def decode_single(data: np.ndarray, desc: Desc, dst_channels: Channels) -> np.ndarray:
     """Decode one QOI byte stream -> raw bytes (numpy), bit-exact with the
-    reference decoder (tolerant streams fall back to the native oracle)."""
+    reference decoder for all inputs, including truncated/tolerant streams
+    (ops/decode.py handles tolerance directly — no oracle fallback)."""
     from . import decode as dec_ops
 
     return dec_ops.decode_single(data, desc, dst_channels)

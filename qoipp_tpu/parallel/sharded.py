@@ -43,7 +43,7 @@ def make_dp_decode(pipeline, mesh: Mesh, axis: str = "data"):
         out_shardings=(batch_sharding, NamedSharding(mesh, P())),
     )
     def dp_decode(streams, sizes):
-        packed, _ = pipeline._decode_impl(streams, sizes)
+        packed = pipeline._decode_impl(streams, sizes)
         checksum = jnp.sum(packed.astype(jnp.uint32))
         return packed, checksum
 
@@ -56,10 +56,18 @@ def make_dp_encode(pipeline, mesh: Mesh, axis: str = "data"):
     @partial(
         jax.jit,
         in_shardings=(batch_sharding,),
-        out_shardings=(batch_sharding, NamedSharding(mesh, P(axis))),
+        out_shardings=(
+            batch_sharding,
+            NamedSharding(mesh, P(axis)),
+            NamedSharding(mesh, P(axis)),
+        ),
     )
-    def dp_encode(packed):
+    def dp_encode_checked(packed):
         return pipeline._encode_impl(packed)
+
+    def dp_encode(packed):
+        streams, lengths, _ = dp_encode_checked(packed)
+        return streams, lengths
 
     return dp_encode
 

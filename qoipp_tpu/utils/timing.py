@@ -17,6 +17,19 @@ from typing import Callable
 import numpy as np
 
 
+def enable_compile_cache(path: str = "/tmp/qoipp_tpu_jax_cache") -> None:
+    """Point JAX's persistent compilation cache at a shared directory.
+
+    Per-shape XLA compiles of the codec programs take tens of seconds via
+    the remoted TPU runtime; every entry point that may compile (tests,
+    bench, CLI tools) calls this so shapes compile once per machine."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 def time_ms(fn: Callable, runs: int = 5, warmup: int = 1) -> float:
     """Host-side wall-clock of fn() in milliseconds (averaged)."""
     for _ in range(warmup):

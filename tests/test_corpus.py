@@ -5,7 +5,10 @@ decode byte-exactly against the oracle, on every backend.
 Corpus resolution order:
 1. tests/resources/qoi_test_images/ — the qoiformat.org suite, if the user
    fetched it (no network in CI; mirrors test/fetch_test_images.sh).
-2. A deterministic synthetic corpus covering the op mix (gradients, flat
+2. tests/local_corpus.py — real photos / screenshots / icons / textures
+   shipped inside locally-installed packages (PIL-decoded), mirroring the
+   qoiformat.org classes.
+3. A deterministic synthetic corpus covering the op mix (gradients, flat
    patches, noise, palettes, alpha variation).
 """
 
@@ -58,6 +61,16 @@ def corpus():
                 items.append((path.stem, img.value().data, img.value().desc))
         if items:
             return items
+    import local_corpus
+
+    if local_corpus.available():
+        # keep the hermetic tier fast: the >1.1-MPix images (full screenshot,
+        # 1080p photo) are exercised by the TPU bench and tools/bench.py
+        return [
+            (name, raw, desc)
+            for name, _, raw, desc, _ in local_corpus.build()
+            if desc.width * desc.height <= 1_100_000
+        ] + synthetic_corpus()
     return synthetic_corpus()
 
 

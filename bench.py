@@ -23,13 +23,15 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def make_corpus(b, w, h, seed=0):
+def make_corpus(b, w, h, seed=0, channels=3):
     """Synthetic 'photographic-ish' corpus: piecewise-flat regions + smooth
-    gradients + noise patches — exercises RUN/INDEX/DIFF/LUMA/RGB mixes."""
+    gradients + noise patches — exercises RUN/INDEX/DIFF/LUMA/RGB mixes.
+    channels=4 adds alpha variation (soft vignette + translucent patches),
+    driving the RGBA decode/encode paths."""
     from qoipp_tpu import Channels, Desc, oracle
 
     rng = np.random.default_rng(seed)
-    desc = Desc(w, h, Channels.RGB)
+    desc = Desc(w, h, Channels(channels))
     n = w * h
     raws, blobs = [], []
     for i in range(b):
@@ -46,12 +48,115 @@ def make_corpus(b, w, h, seed=0):
         base[py : py + h // 8, px : px + w // 8] = rng.integers(
             0, 256, (min(h // 8, h - py), min(w // 8, w - px), 3)
         )
+        if channels == 4:
+            alpha = np.full((h, w), 255, np.uint8)
+            # translucent patches + a banded vignette: RGBA/alpha-delta ops
+            for _ in range(40):
+                py, px = rng.integers(0, h), rng.integers(0, w)
+                ph, pw = rng.integers(8, h // 4), rng.integers(8, w // 4)
+                alpha[py : py + ph, px : px + pw] = rng.integers(0, 256)
+            alpha = np.minimum(alpha, 128 + ((x + y) // 24 * 8) % 128).astype(
+                np.uint8
+            )
+            base = np.concatenate([base, alpha[:, :, None]], axis=-1)
         raw = base.reshape(-1)
         enc, complete = oracle.encode(raw, desc)
         assert complete
         raws.append(raw)
         blobs.append(enc)
     return desc, raws, blobs
+
+
+def bench_device(desc, raws, blobs, dev, label, runs=10, enc_runs=2):
+    """Verify parity then time the batched device pipeline (decode+encode)
+    on one corpus; returns (decode MPix/s, encode MPix/s, parity ok)."""
+    import jax
+    import jax.numpy as jnp
+
+    from qoipp_tpu import oracle
+    from qoipp_tpu.models.pipeline import BatchPipeline
+    from qoipp_tpu.ops.bitops import pixels_to_packed
+
+    B = len(blobs)
+    ch = int(desc.channels)
+    n_px = desc.width * desc.height
+    total_px = B * n_px
+    max_len = max(b.size for b in blobs)
+    # max_encode_len bounds the emit kernel's output sweep; the corpus
+    # re-encodes to exactly the oracle sizes, so max_len (+ slack) is a
+    # safe tight cap (encode_packed raises if it were ever exceeded).
+    pipe = BatchPipeline(desc, max_stream_len=max_len,
+                         max_encode_len=max_len + 4096)
+    log(f"pipeline[{label}]: qb={pipe.qb} (replay steps)")
+
+    streams_np, sizes_np = pipe.pack_streams(blobs)
+    streams = jax.device_put(jnp.asarray(streams_np), dev)
+    sizes = jax.device_put(jnp.asarray(sizes_np), dev)
+
+    # verify parity (one batch) before timing — 04_bench.cpp:685-731 analog
+    packed = jax.block_until_ready(pipe.decode_packed(streams, sizes))
+    got = np.asarray(packed[:, :n_px])
+    ok = True
+    for i in range(B):
+        want = oracle.decode(blobs[i], desc, desc.channels).reshape(-1, ch)
+        planes = [got[i] & 0xFF, (got[i] >> 8) & 0xFF, (got[i] >> 16) & 0xFF]
+        if ch == 4:
+            planes.append((got[i] >> 24) & 0xFF)
+        g = np.stack(planes, axis=1).astype(np.uint8)
+        if not np.array_equal(g, want):
+            ok = False
+            log(f"PARITY FAIL [{label}] image {i}")
+    log(f"parity[{label}]: {'100%' if ok else 'FAILED'}")
+
+    for _ in range(3):  # warmup
+        jax.block_until_ready(pipe.decode_packed(streams, sizes))
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        out = pipe.decode_packed(streams, sizes)
+    jax.block_until_ready(out)
+    t_dev = (time.perf_counter() - t0) / runs
+    dev_mpix = total_px / t_dev / 1e6
+    log(f"device decode[{label}]: {t_dev*1e3:.2f} ms/batch = "
+        f"{dev_mpix:.1f} MPix/s")
+
+    # the dense per-pixel field planes are ~10x the input, so the corpus
+    # encodes in sub-batches of 32
+    packed_in = jnp.stack(
+        [
+            jnp.pad(
+                pixels_to_packed(jnp.asarray(r), ch), (0, pipe.nb - pipe.n_px)
+            )
+            for r in raws
+        ]
+    )
+    eb = min(B, 32)
+    packed_in = jax.device_put(packed_in, dev)
+    enc_streams, lengths = jax.block_until_ready(
+        pipe.encode_packed(packed_in[:eb])
+    )
+    enc_ok = all(
+        int(lengths[i]) == blobs[i].size
+        and np.array_equal(np.asarray(enc_streams[i, : blobs[i].size]), blobs[i])
+        for i in range(eb)
+    )
+    log(f"device encode parity[{label}] ({eb} images): "
+        f"{'100%' if enc_ok else 'FAILED'}")
+    for s in range(0, B, eb):  # warm every sub-batch shape
+        jax.block_until_ready(pipe.encode_packed(packed_in[s : s + eb]))
+    t0 = time.perf_counter()
+    for _ in range(enc_runs):
+        # checked variant: no per-dispatch host sync on the ok flags
+        outs = [
+            pipe.encode_packed_checked(packed_in[s : s + eb])
+            for s in range(0, B, eb)
+        ]
+    jax.block_until_ready(outs)
+    assert all(bool(jnp.all(o[2])) for o in outs)
+    t_enc = (time.perf_counter() - t0) / enc_runs
+    enc_mpix = total_px / t_enc / 1e6
+    log(f"device encode[{label}]: {t_enc*1e3:.2f} ms/{B} imgs = "
+        f"{enc_mpix:.1f} MPix/s")
+    return dev_mpix, enc_mpix, ok and enc_ok
 
 
 def main():
@@ -93,71 +198,22 @@ def main():
     log(f"oracle encode: {t_enc_base*1e3:.1f} ms/batch = "
         f"{total_px/t_enc_base/1e6:.1f} MPix/s (production encode path)")
 
-    # ---- device: batched parallel decode ---------------------------------
-    max_len = max(stream_sizes)
-    pipe = BatchPipeline(desc, max_stream_len=max_len)
-    log(f"pipeline: qb={pipe.qb} (replay steps)")
+    # ---- device: batched pipeline ----------------------------------------
+    dev_mpix, enc_mpix, ok = bench_device(desc, raws, blobs, dev, label="RGB")
 
-    streams_np, sizes_np = pipe.pack_streams(blobs)
-    streams = jax.device_put(jnp.asarray(streams_np), dev)
-    sizes = jax.device_put(jnp.asarray(sizes_np), dev)
-
-    # verify parity (one batch) before timing — 04_bench.cpp:685-731 analog
-    packed = jax.block_until_ready(pipe.decode_packed(streams, sizes))
-    got = np.asarray(packed[:, :n_px])
-    ok = True
-    for i in range(B):
-        want = oracle.decode(blobs[i], desc, desc.channels).reshape(-1, 3)
-        g = np.stack(
-            [got[i] & 0xFF, (got[i] >> 8) & 0xFF, (got[i] >> 16) & 0xFF], axis=1
-        ).astype(np.uint8)
-        if not np.array_equal(g, want):
-            ok = False
-            log(f"PARITY FAIL image {i}")
-    log(f"parity: {'100%' if ok else 'FAILED'}")
-
-    for _ in range(3):  # warmup
-        jax.block_until_ready(pipe.decode_packed(streams, sizes))
-    runs = 10
+    # ---- RGBA corpus (alpha-varying; exercises the general decode path
+    # and RGBA encode ops) — secondary, logged ------------------------------
+    B4 = 64
+    desc4, raws4, blobs4 = make_corpus(B4, W, H, seed=7, channels=4)
+    s4 = [b.size for b in blobs4]
+    log(f"corpus: {B4} x {W}x{H} RGBA, stream sizes {min(s4)}..{max(s4)}")
     t0 = time.perf_counter()
-    for _ in range(runs):
-        out = pipe.decode_packed(streams, sizes)
-    jax.block_until_ready(out)
-    t_dev = (time.perf_counter() - t0) / runs
-    dev_mpix = total_px / t_dev / 1e6
-    log(f"device decode: {t_dev*1e3:.2f} ms/batch = {dev_mpix:.1f} MPix/s")
-
-    # ---- encode throughput (secondary, logged) ----------------------------
-    from qoipp_tpu.ops.bitops import pixels_to_packed
-
-    packed_in = jnp.stack(
-        [
-            jnp.pad(
-                pixels_to_packed(jnp.asarray(r), 3), (0, pipe.nb - pipe.n_px)
-            )
-            for r in raws
-        ]
-    )
-    # device encode: bit-exact but emission-scatter-bound (docs/BACKLOG.md);
-    # verify + time on a memory-safe sub-batch
-    eb = min(B, 32)
-    packed_in = jax.device_put(packed_in[:eb], dev)
-    enc_streams, lengths = jax.block_until_ready(pipe.encode_packed(packed_in))
-    enc_ok = all(
-        int(lengths[i]) == blobs[i].size
-        and np.array_equal(np.asarray(enc_streams[i, : blobs[i].size]), blobs[i])
-        for i in range(eb)
-    )
-    log(f"device encode parity ({eb} images): {'100%' if enc_ok else 'FAILED'}")
-    t0 = time.perf_counter()
-    enc_runs = 2
-    for _ in range(enc_runs):
-        out = pipe.encode_packed(packed_in)
-    jax.block_until_ready(out)
-    np.asarray(out[1][:1])
-    t_enc = (time.perf_counter() - t0) / enc_runs
-    log(f"device encode: {t_enc*1e3:.2f} ms/{eb} imgs = "
-        f"{eb*n_px/t_enc/1e6:.1f} MPix/s")
+    for blob in blobs4[:8]:
+        oracle.decode(blob, desc4, desc4.channels)
+    t4 = (time.perf_counter() - t0) / 8 * B4
+    log(f"oracle decode RGBA: {t4*1e3:.1f} ms/batch = "
+        f"{B4*n_px/t4/1e6:.1f} MPix/s")
+    bench_device(desc4, raws4, blobs4, dev, label="RGBA")
 
     value = dev_mpix if ok else 0.0
     print(

@@ -46,9 +46,31 @@ def _as_u8(data: BytesLike) -> np.ndarray:
 
 def _materialize_gen(gen: Callable[[int], Pixel], desc: Desc) -> np.ndarray:
     """Pull pixels from a generator callback into a raw buffer
-    (reference: FuncPixelReader, source/util.hpp:322-337 — RGB forces a=0xFF)."""
+    (reference: FuncPixelReader, source/util.hpp:322-337 — RGB forces a=0xFF).
+
+    Fast path: a generator that accepts an int64 index *array* and returns
+    an (N, 4)-shaped uint8-convertible array is called once per 1M-pixel
+    block (the TPU-native analog of the reference streaming generator
+    pixels through the core — array-in/array-out instead of per-pixel
+    virtual calls).  Scalar generators fall back to the per-pixel loop.
+    """
     n = desc.width * desc.height
     ch = int(desc.channels)
+
+    try:
+        probe = np.asarray(gen(np.arange(min(n, 4), dtype=np.int64)))
+        vectorized = probe.shape == (min(n, 4), 4)
+    except Exception:
+        vectorized = False
+    if vectorized:
+        out = np.empty((n, ch), dtype=np.uint8)
+        blk = 1 << 20
+        for s in range(0, n, blk):
+            ids = np.arange(s, min(s + blk, n), dtype=np.int64)
+            px = np.asarray(gen(ids), dtype=np.uint8)
+            out[s : s + ids.size] = px[:, :ch]
+        return out.reshape(-1)
+
     out = np.empty((n, ch), dtype=np.uint8)
     for i in range(n):
         p = gen(i)

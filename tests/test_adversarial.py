@@ -4,7 +4,7 @@ A conforming encoder can never emit OP_INDEX against a never-written slot,
 but the decoder must still match the reference byte-for-byte on such
 streams (the INDEX write-back then mutates slot hash(read_value), which
 the replay kernel models literally — ops/replay_kernel.py docstring T1
-discussion in ops/wave.py)."""
+discussion in examples/wave_engine.py)."""
 
 import numpy as np
 import pytest

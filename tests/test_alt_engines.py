@@ -1,5 +1,9 @@
-"""The alternative decode engines (scan fixpoint, Jacobi wave solve) must
-stay bit-exact even though the Pallas kernel is the production path."""
+"""The alternative decode engines (scan fixpoint; the Jacobi wave solve,
+retired to examples/wave_engine.py) must stay bit-exact even though the
+Pallas kernel is the production path."""
+
+import sys
+from pathlib import Path
 
 import jax.numpy as jnp
 import numpy as np
@@ -8,7 +12,9 @@ import pytest
 from qoipp_tpu import Channels, Desc, oracle
 from qoipp_tpu.ops import boundary, decode as dec_ops
 from qoipp_tpu.ops.bitops import packed_to_pixels
-from qoipp_tpu.ops.wave import wave_decode
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+from wave_engine import wave_decode  # noqa: E402
 
 
 def prep(desc, enc):

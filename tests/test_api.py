@@ -165,3 +165,17 @@ def test_full_roundtrip_both_backends(raw4):
         enc = q.encode(raw4, DESC4, backend=backend).value()
         img = q.decode(enc, backend=backend).value()
         assert np.array_equal(img.data, raw4)
+
+
+def test_encode_generator_vectorized(raw3, qoi3):
+    # Array-in/array-out generator fast path (the TPU-native analog of the
+    # reference streaming generator pixels through the core,
+    # util.hpp:322-337): must be bit-identical to the scalar path.
+    px = raw3.reshape(-1, 3)
+
+    def gen(ids):
+        out = np.zeros((len(ids), 4), np.uint8)
+        out[:, :3] = px[ids]
+        return out  # alpha 0 — RGB encode forces 0xFF
+
+    assert np.array_equal(q.encode(gen, DESC3).value(), qoi3)

@@ -133,3 +133,59 @@ def test_sp_sharded_decode():
 
     got = np.asarray(packed_to_pixels(packed[:n_px], 3))
     assert np.array_equal(got, raw)
+
+
+def test_sp_sharded_encode():
+    # One image's pixels sharded over the seq axis; closed-form carry
+    # exchange (prev via ppermute, run/table via all_gathered summaries);
+    # assembled stream must be bit-exact with the oracle.  Content is
+    # crafted so runs (incl. >62 and whole-shard spans), INDEX hits, and
+    # LUMA/DIFF deltas all cross shard boundaries.
+    m = mesh_mod.make_mesh((1, 8))
+    n_dev, n_local = 8, 256
+    n_px = n_dev * n_local - 37  # last shard partially filled
+    desc = Desc(n_px, 1, Channels.RGBA)
+
+    rng = np.random.default_rng(6)
+    px = np.zeros((n_dev * n_local, 4), np.int64)
+    px[:, 3] = 255
+    cur = np.array([10, 20, 30, 255], np.int64)
+    i = 0
+    while i < n_px:
+        mode = rng.integers(0, 5)
+        if mode == 0:  # long run (often crossing boundaries / the 62 flush)
+            ln = int(rng.integers(1, 300))
+        elif mode == 1:  # small delta step
+            cur[:3] = (cur[:3] + rng.integers(-2, 2, 3)) % 256
+            ln = 1
+        elif mode == 2:  # luma-range step
+            cur[:3] = (cur[:3] + rng.integers(-30, 30, 3)) % 256
+            ln = 1
+        elif mode == 3:  # revisit an old pixel (INDEX candidates)
+            j = int(rng.integers(0, i)) if i else 0
+            cur = px[j].copy()
+            ln = 1
+        else:  # fresh pixel, sometimes alpha change
+            cur = rng.integers(0, 256, 4)
+            if rng.random() < 0.5:
+                cur[3] = 255
+        ln = min(ln if mode == 0 else 1, n_px - i)
+        px[i : i + ln] = cur
+        i += ln
+    raw = px[:n_px, :4].astype(np.uint8).reshape(-1)
+    enc, _ = oracle.encode(raw, desc)
+
+    from qoipp_tpu.ops.bitops import pixels_to_packed
+
+    packed = pixels_to_packed(jnp.asarray(raw), 4)
+    packed = jnp.pad(packed, (0, n_dev * n_local - n_px))
+    # padding after n_px must not disturb shard summaries of the last shard
+    sp_enc = sharded.make_sp_encode(m, n_local, channels=4)
+    bodies, lengths = sp_enc(packed, jnp.int32(n_px - (n_dev - 1) * n_local))
+    bodies, lengths = np.asarray(bodies), np.asarray(lengths)
+    got = b"".join(
+        bodies[s, : lengths[s]].tobytes() for s in range(n_dev)
+    )
+    from qoipp_tpu.common import write_header
+
+    assert write_header(desc) + got == enc.tobytes()

@@ -259,19 +259,45 @@ def main(argv=None):
 
         _, _, desc0 = images[0]
         blobs = [oracle.encode(r, d)[0] for _, r, d in images]
-        pipe = BatchPipeline(desc0, max_stream_len=max(b.size for b in blobs))
+        pipe = BatchPipeline(
+            desc0,
+            max_stream_len=max(b.size for b in blobs),
+            max_encode_len=max(b.size for b in blobs) + 1024,
+        )
         streams, sizes = pipe.pack_streams(blobs)
         streams = jnp.asarray(streams)
         sizes = jnp.asarray(sizes)
         n_total = sum(d.width * d.height for _, _, d in images)
 
-        def run():
-            out = pipe.decode_packed(streams, sizes)
-            np.asarray(out[:, :1])  # sync through the transport
+        td = te = float("nan")
+        if not args.no_decode:
+            def run_dec():
+                out = pipe.decode_packed(streams, sizes)
+                np.asarray(out[:, :1])  # sync through the transport
 
-        td = timed(run, args.runs, warmup)
-        print(fmt_row(["TOTAL", "jax-batch", "-", f"{td*1e3:.2f}", "-",
-                       f"{n_total/td/1e6:.1f}", "-", "-", "-", "-"]))
+            td = timed(run_dec, args.runs, warmup)
+        if not args.no_encode:
+            from qoipp_tpu.ops.bitops import pixels_to_packed
+
+            ch = int(desc0.channels)
+            packed_in = jnp.stack([
+                jnp.pad(pixels_to_packed(jnp.asarray(r), ch),
+                        (0, pipe.nb - pipe.n_px))
+                for _, r, _ in images
+            ])
+
+            def run_enc():
+                out, lens, _ = pipe.encode_packed_checked(packed_in)
+                np.asarray(lens[:1])  # sync through the transport
+
+            te = timed(run_enc, args.runs, warmup)
+        print(fmt_row([
+            "TOTAL", "jax-batch",
+            f"{te*1e3:.2f}" if te == te else "-",
+            f"{td*1e3:.2f}" if td == td else "-",
+            f"{n_total/te/1e6:.1f}" if te == te else "-",
+            f"{n_total/td/1e6:.1f}" if td == td else "-",
+            "-", "-", "-", "-"]))
 
     for c, (te, td, npx) in totals.items():
         print(fmt_row([

@@ -351,6 +351,11 @@ def encode_batch_scatter(packed, n_px, header, channels: int):
 # reference's sequential emitter (source/simple.cpp:36-95).
 # ---------------------------------------------------------------------------
 
+# The Pallas fields kernel (ops/fields_kernel.py) is bit-exact but its
+# first Mosaic lowering runs relayout-bound (~8x slower than the XLA field
+# pass, round-2 profile); it stays opt-in until it wins on chip.
+_USE_FIELDS_KERNEL = False
+
 
 def _pack_template_planes(template, nbytes):
     """(..., 6) u8 templates + byte counts -> two u32 planes.
@@ -370,13 +375,39 @@ def _encode_kernel_impl(packed, n_px, header, channels: int,
     from .compact_kernel import BLK as CBLK
     from .compact_kernel import compact_rows
     from . import emit_kernel
+    from . import fields_kernel as fk
 
     b, nb = packed.shape
-    template, nbytes, tail, has_trail = jax.vmap(
-        lambda p: _encode_fields(p, n_px, channels)
-    )(packed)
-    tlo, thn = _pack_template_planes(template, nbytes)
-    keep = nbytes > 0
+    if _USE_FIELDS_KERNEL and jax.default_backend() == "tpu":
+        # Pallas fields kernel: VMEM-local table scan (see fields_kernel.py)
+        pad_f = (-nb) % fk.BLK
+        if pad_f:
+            packed = jnp.pad(packed, ((0, 0), (0, pad_f)))
+            nb += pad_f
+        tlo, thn, run_out = fk.encode_fields_planes(packed, n_px, channels)
+        # trailing run + end marker (reference: simple.cpp:91-95) from the
+        # outgoing run counter of the block holding the last pixel
+        blk_last = jnp.broadcast_to((n_px - 1) // fk.BLK, (b, 1))
+        trailing = jnp.take_along_axis(run_out, blk_last, axis=1)[:, 0]
+        has_trail = trailing > 0
+        trail_byte = (TAG_RUN | ((trailing - 1) & 0x3F)).astype(jnp.uint8)
+        marker = jnp.array([0, 0, 0, 0, 0, 0, 0, 1, 0], dtype=jnp.uint8)
+        tail = jnp.where(
+            has_trail[:, None],
+            jnp.concatenate(
+                [trail_byte[:, None], jnp.broadcast_to(marker[:8], (b, 8))],
+                axis=1,
+            ),
+            jnp.broadcast_to(marker, (b, 9)),
+        )
+    else:
+        # CPU hosts: the XLA field pass compiles/runs faster than an
+        # interpreted Pallas kernel and is equally exact
+        template, nbytes, tail, has_trail = jax.vmap(
+            lambda p: _encode_fields(p, n_px, channels)
+        )(packed)
+        tlo, thn = _pack_template_planes(template, nbytes)
+    keep = (thn >> 16) > 0
     pad = (-nb) % CBLK
     if pad:
         tlo = jnp.pad(tlo, ((0, 0), (0, pad)))

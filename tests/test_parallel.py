@@ -189,3 +189,42 @@ def test_sp_sharded_encode():
     from qoipp_tpu.common import write_header
 
     assert write_header(desc) + got == enc.tobytes()
+
+
+def test_hybrid_mesh_dcn_layout():
+    # Multi-host layout simulated on the 8-device CPU mesh: host axis
+    # (DCN) is outermost and carries only embarrassingly-parallel batch
+    # work (merged with data in the dp specs); seq (ICI) is innermost and
+    # carries the sp seam exchange.
+    m = mesh_mod.make_hybrid_mesh(hosts=2)  # (2, 2, 2) host x data x seq
+    assert m.shape["host"] == 2 and m.shape["seq"] >= 2
+
+    pipe = BatchPipeline(DESC)
+    raws, blobs = make_batch(8, DESC, seed=7)
+    streams, sizes = pipe.pack_streams(blobs)
+    dp_decode = sharded.make_dp_decode(pipe, m, axis=("host", "data"))
+    packed, _ = dp_decode(jnp.asarray(streams), jnp.asarray(sizes))
+    from qoipp_tpu.ops.bitops import packed_to_pixels
+
+    for i in range(8):
+        raw = np.asarray(packed_to_pixels(jnp.asarray(packed[i, : pipe.n_px]), 3))
+        assert np.array_equal(raw, raws[i]), f"image {i}"
+
+    # sp encode rides the innermost (ICI) axis of the same mesh
+    n_dev, n_local = m.shape["seq"], 256
+    n_px = n_dev * n_local
+    desc = Desc(n_px, 1, Channels.RGB)
+    rng = np.random.default_rng(8)
+    palette = rng.integers(0, 256, (4, 3)).astype(np.uint8)
+    raw = palette[rng.integers(0, 4, n_px)].reshape(-1)
+    enc, _ = oracle.encode(raw, desc)
+    from qoipp_tpu.ops.bitops import pixels_to_packed
+
+    packed_px = pixels_to_packed(jnp.asarray(raw), 3)
+    sp_enc = sharded.make_sp_encode(m, n_local, channels=3)
+    bodies, lengths = sp_enc(packed_px, jnp.int32(n_local))
+    bodies, lengths = np.asarray(bodies), np.asarray(lengths)
+    got = b"".join(bodies[s, : lengths[s]].tobytes() for s in range(n_dev))
+    from qoipp_tpu.common import write_header
+
+    assert write_header(desc) + got == enc.tobytes()

@@ -65,30 +65,37 @@ def _compact_kernel(nplanes: int, sout: int, gidx_ref, keep_ref, *rest):
     ts = t // 128  # target stripe in [0, sout)
     tl = jnp.where(keep, t - ts * 128, -1)  # target lane
 
-    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (r, 128, 128), 2)
-    bmat = (tl[:, :, None] == lane_ids).astype(jnp.float32)  # (r, 128, 128)
-
     nh = 2 * nplanes  # 16-bit halves
+    k = r * 128
     halves = []
     for p in range(nplanes):
         v = plane_refs[p][0, 0]  # (r, 128) uint32
         # Mosaic has no u32->f32 cast; the halves fit int32 exactly.
-        halves.append((v & 0xFFFF).astype(jnp.int32).astype(jnp.float32))
-        halves.append((v >> 16).astype(jnp.int32).astype(jnp.float32))
-
-    # acc[(h, s), l] += sum_c halves[h][rr, c] * (ts[rr, c] == s) * bmat[rr, c, l]
-    stripe_ids = jax.lax.broadcasted_iota(jnp.int32, (sout, 128), 0)
-    acc = jnp.zeros((nh * sout, 128), jnp.float32)
-    for rr in range(r):
-        hot = ts[rr][None, :] == stripe_ids  # (sout, 128) per-column stripe hit
-        a_rows = [
-            jnp.where(hot, halves[h][rr][None, :], 0.0) for h in range(nh)
-        ]
-        a = jnp.concatenate(a_rows, axis=0)  # (nh*sout, 128)
-        acc = acc + jax.lax.dot(
-            a, bmat[rr], precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
+        halves.append(
+            (v & 0xFFFF).astype(jnp.int32).astype(jnp.float32).reshape(1, k)
         )
+        halves.append(
+            (v >> 16).astype(jnp.int32).astype(jnp.float32).reshape(1, k)
+        )
+
+    # acc[(h, s), l] = sum_k halves[h][k] * (ts[k] == s) * (tl[k] == l)
+    # as ONE MXU-shaped contraction: A (nh*sout, K) x BmT (128, K) over
+    # the shared K axis (dot_general (1,1): both operands keep K on
+    # lanes, so neither needs a lane->sublane relayout — the earlier
+    # per-row formulation relayouted tl[rr] once per row).
+    ts_flat = ts.reshape(1, k)
+    s_rows = jax.lax.broadcasted_iota(jnp.int32, (sout, k), 0)
+    a_secs = [
+        jnp.where(ts_flat == s_rows, halves[h], 0.0) for h in range(nh)
+    ]
+    a = jnp.concatenate(a_secs, axis=0)  # (nh*sout, K)
+    l_rows = jax.lax.broadcasted_iota(jnp.int32, (128, k), 0)
+    bmat_t = (tl.reshape(1, k) == l_rows).astype(jnp.float32)  # (128, K)
+    acc = jax.lax.dot_general(
+        a, bmat_t, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
 
     # merge the carried partial row into stripe 0 of every half
     pend = pend_ref[:, :]  # (8, 128) f32, rows [0, nh) used

@@ -351,12 +351,6 @@ def encode_batch_scatter(packed, n_px, header, channels: int):
 # reference's sequential emitter (source/simple.cpp:36-95).
 # ---------------------------------------------------------------------------
 
-# The Pallas fields kernel (ops/fields_kernel.py) is bit-exact but its
-# first Mosaic lowering runs relayout-bound (~8x slower than the XLA field
-# pass, round-2 profile); it stays opt-in until it wins on chip.
-_USE_FIELDS_KERNEL = False
-
-
 def _pack_template_planes(template, nbytes):
     """(..., 6) u8 templates + byte counts -> two u32 planes.
 
@@ -372,53 +366,158 @@ def _pack_template_planes(template, nbytes):
 @partial(jax.jit, static_argnames=("channels", "chunk_cap", "out_cap"))
 def _encode_kernel_impl(packed, n_px, header, channels: int,
                         chunk_cap: int, out_cap: int):
+    """Compact-first sparse pipeline.
+
+    Run-interior pixels never touch the table and their RUN bytes are a
+    pure function of the gap between chunk positions, so the expensive
+    table scan runs on the COMPACTED chunk domain (5-10x fewer rows on
+    real content), not per pixel:
+
+    1. dense pass: chunk positions (noneq pixels + 62-flush points) — a
+       handful of elementwise ops and one cummax over (B, Nb);
+    2. MXU compaction of (pixel, position|flag) at those rows;
+    3. table scan + op selection + byte templates on the chunk rows
+       (prev pixel = previous row's pixel; pending run = position gap);
+    4. output-driven emit kernel (unchanged).
+    """
     from .compact_kernel import BLK as CBLK
     from .compact_kernel import compact_rows
     from . import emit_kernel
-    from . import fields_kernel as fk
 
     b, nb = packed.shape
-    if _USE_FIELDS_KERNEL and jax.default_backend() == "tpu":
-        # Pallas fields kernel: VMEM-local table scan (see fields_kernel.py)
-        pad_f = (-nb) % fk.BLK
-        if pad_f:
-            packed = jnp.pad(packed, ((0, 0), (0, pad_f)))
-            nb += pad_f
-        tlo, thn, run_out = fk.encode_fields_planes(packed, n_px, channels)
-        # trailing run + end marker (reference: simple.cpp:91-95) from the
-        # outgoing run counter of the block holding the last pixel
-        blk_last = jnp.broadcast_to((n_px - 1) // fk.BLK, (b, 1))
-        trailing = jnp.take_along_axis(run_out, blk_last, axis=1)[:, 0]
-        has_trail = trailing > 0
-        trail_byte = (TAG_RUN | ((trailing - 1) & 0x3F)).astype(jnp.uint8)
-        marker = jnp.array([0, 0, 0, 0, 0, 0, 0, 1, 0], dtype=jnp.uint8)
-        tail = jnp.where(
-            has_trail[:, None],
-            jnp.concatenate(
-                [trail_byte[:, None], jnp.broadcast_to(marker[:8], (b, 8))],
-                axis=1,
-            ),
-            jnp.broadcast_to(marker, (b, 9)),
-        )
-    else:
-        # CPU hosts: the XLA field pass compiles/runs faster than an
-        # interpreted Pallas kernel and is equally exact
-        template, nbytes, tail, has_trail = jax.vmap(
-            lambda p: _encode_fields(p, n_px, channels)
-        )(packed)
-        tlo, thn = _pack_template_planes(template, nbytes)
-    keep = (thn >> 16) > 0
+
+    # ---- 1. dense chunk-position pass -----------------------------------
+    idx = jnp.broadcast_to(jnp.arange(nb, dtype=jnp.int32)[None, :], (b, nb))
+    valid = idx < n_px
+    prev = jnp.concatenate(
+        [jnp.full((b, 1), START_PIXEL_PACKED, jnp.uint32), packed[:, :-1]],
+        axis=1,
+    )
+    eq_raw = packed == prev
+    noneq = valid & ~eq_raw
+    last_noneq = jax.lax.cummax(jnp.where(noneq, idx, -1), axis=1)
+    cnt = idx - last_noneq
+    hit62 = eq_raw & valid & (cnt % 62 == 0)  # run-limit flush (RUN 62)
+    keep = noneq | hit62
+    posflag = (idx | jnp.where(noneq, 1 << 30, 0)).astype(jnp.uint32)
+
     pad = (-nb) % CBLK
     if pad:
-        tlo = jnp.pad(tlo, ((0, 0), (0, pad)))
-        thn = jnp.pad(thn, ((0, 0), (0, pad)))
+        packed_p = jnp.pad(packed, ((0, 0), (0, pad)))
+        posflag = jnp.pad(posflag, ((0, 0), (0, pad)))
         keep = jnp.pad(keep, ((0, 0), (0, pad)))
+    else:
+        packed_p = packed
 
-    (tlo_c, thn_c), counts = compact_rows((tlo, thn), keep, cap=chunk_cap)
+    # ---- 2. compact to the chunk domain ---------------------------------
+    (pk_c, pf_c), counts = compact_rows((packed_p, posflag), keep,
+                                        cap=chunk_cap)
     rows = jnp.arange(chunk_cap, dtype=jnp.int32)[None, :]
-    valid = rows < counts[:, None]
-    tlo_c = jnp.where(valid, tlo_c, 0)
-    thn_c = jnp.where(valid, thn_c, 0)
+    valid_c = rows < counts[:, None]
+    pk_c = jnp.where(valid_c, pk_c, 0)
+    pf_c = jnp.where(valid_c, pf_c, 0)
+    pos = (pf_c & 0x3FFFFFFF).astype(jnp.int32)
+    nq_c = valid_c & (((pf_c >> 30) & 1) == 1)
+
+    # prev pixel of a chunk = previous chunk row's pixel (run interiors
+    # repeat it); pending run length = the position gap
+    prev_c = jnp.concatenate(
+        [jnp.full((b, 1), START_PIXEL_PACKED, jnp.uint32), pk_c[:, :-1]],
+        axis=1,
+    )
+    pos_prev = jnp.concatenate(
+        [jnp.full((b, 1), -1, jnp.int32), pos[:, :-1]], axis=1
+    )
+    gap = jnp.where(valid_c, pos - pos_prev - 1, 0)
+
+    # ---- 3. sparse fields on chunk rows ---------------------------------
+    h = hash6(pk_c)
+    table_val = jax.vmap(_last_same_hash_value)(pk_c, h, nq_c)
+    is_index = nq_c & (table_val == pk_c)
+
+    a_cur = unpack_channel(pk_c, 3)
+    a_prev = unpack_channel(prev_c, 3)
+    if channels == 4:
+        is_rgba = nq_c & ~is_index & (a_cur != a_prev)
+    else:
+        is_rgba = jnp.zeros((b, chunk_cap), bool)
+
+    dr = to_int8(unpack_channel(pk_c, 0) - unpack_channel(prev_c, 0))
+    dg = to_int8(unpack_channel(pk_c, 1) - unpack_channel(prev_c, 1))
+    db = to_int8(unpack_channel(pk_c, 2) - unpack_channel(prev_c, 2))
+    dr_dg = to_int8((dr - dg).astype(jnp.uint32))
+    db_dg = to_int8((db - dg).astype(jnp.uint32))
+    in_diff = (
+        (dr >= -2) & (dr <= 1) & (dg >= -2) & (dg <= 1) & (db >= -2) & (db <= 1)
+    )
+    in_luma = (
+        (dg >= -32) & (dg <= 31)
+        & (dr_dg >= -8) & (dr_dg <= 7)
+        & (db_dg >= -8) & (db_dg <= 7)
+    )
+    rest = nq_c & ~is_index & ~is_rgba
+    is_diff = rest & in_diff
+    is_luma = rest & ~in_diff & in_luma
+    is_rgb = rest & ~in_diff & ~in_luma
+    own_len = jnp.where(
+        is_index, 1,
+        jnp.where(is_rgba, 5,
+                  jnp.where(is_diff, 1,
+                            jnp.where(is_luma, 2,
+                                      jnp.where(is_rgb, 4, 0)))),
+    ).astype(jnp.uint32)
+
+    r8 = unpack_channel(pk_c, 0)
+    g8 = unpack_channel(pk_c, 1)
+    b8 = unpack_channel(pk_c, 2)
+    diff_byte = (TAG_DIFF | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2)
+                 ).astype(jnp.uint32)
+    luma0 = (TAG_LUMA | (dg + 32)).astype(jnp.uint32)
+    luma1 = (((dr_dg + 8) << 4) | (db_dg + 8)).astype(jnp.uint32)
+    z = jnp.zeros((b, chunk_cap), jnp.uint32)
+    o0 = jnp.where(is_index, h.astype(jnp.uint32),
+                   jnp.where(is_rgba, jnp.uint32(TAG_RGBA),
+                             jnp.where(is_diff, diff_byte,
+                                       jnp.where(is_luma, luma0,
+                                                 jnp.where(is_rgb,
+                                                           jnp.uint32(TAG_RGB),
+                                                           z)))))
+    o1 = jnp.where(is_rgba | is_rgb, r8, jnp.where(is_luma, luma1, z))
+    o2 = jnp.where(is_rgba | is_rgb, g8, z)
+    o3 = jnp.where(is_rgba | is_rgb, b8, z)
+    o4 = jnp.where(is_rgba, a_cur, z)
+
+    # a noneq chunk flushes its pending run first (gap in [1, 61]); a
+    # hit62 row IS the flush (RUN 62, gap == 61 eq pixels strictly before)
+    run_byte = jnp.where(
+        nq_c, jnp.uint32(TAG_RUN) | ((gap - 1).astype(jnp.uint32) & 0x3F),
+        jnp.uint32(TAG_RUN | 61),
+    )
+    has_run = jnp.where(nq_c, gap > 0, valid_c)
+    b0 = jnp.where(has_run, run_byte, o0)
+    b1 = jnp.where(has_run, o0, o1)
+    b2 = jnp.where(has_run, o1, o2)
+    b3 = jnp.where(has_run, o2, o3)
+    b4 = jnp.where(has_run, o3, o4)
+    b5 = jnp.where(has_run, o4, z)
+    nbytes_c = own_len + has_run.astype(jnp.uint32)
+    tlo_c = b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
+    thn_c = b4 | (b5 << 8) | (nbytes_c << 16)
+
+    # ---- trailing run + end marker --------------------------------------
+    last_pos = jnp.max(jnp.where(valid_c, pos, -1), axis=1)  # (B,)
+    trailing = jnp.maximum(n_px - 1 - last_pos, 0)
+    has_trail = trailing > 0
+    trail_byte = (TAG_RUN | ((trailing - 1) & 0x3F)).astype(jnp.uint8)
+    marker = jnp.array([0, 0, 0, 0, 0, 0, 0, 1, 0], dtype=jnp.uint8)
+    tail = jnp.where(
+        has_trail[:, None],
+        jnp.concatenate(
+            [trail_byte[:, None], jnp.broadcast_to(marker[:8], (b, 8))],
+            axis=1,
+        ),
+        jnp.broadcast_to(marker, (b, 9)),
+    )
 
     # Trailing run + end marker ride in as two appended template rows; a
     # third 1-byte sentinel keeps the last real row covered in the emit

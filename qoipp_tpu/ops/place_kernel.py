@@ -127,9 +127,14 @@ def _place_fill_kernel(base_ref, pb_hbm, emit_hbm, out_ref,
         hot = ts == stripe_ids  # (SW, 128)
         a = jnp.concatenate(
             [jnp.where(hot, lo1, 0.0), jnp.where(hot, hi, 0.0)], axis=0)
-        bm = (tl[0][:, None] == lanes).astype(jnp.float32)
-        return acc + jax.lax.dot(
-            a, bm, precision=_F32_HI, preferred_element_type=jnp.float32)
+        # contract both operands' LANE axes (dot_general (1,1)) so tl
+        # stays lane-major — building (tl[:, None] == lanes) forced a
+        # lane->sublane relayout every trip
+        out_l = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        bm_t = (out_l == tl).astype(jnp.float32)  # (128 out-lanes, 128 chunks)
+        return acc + jax.lax.dot_general(
+            a, bm_t, (((1,), (1,)), ((), ())),
+            precision=_F32_HI, preferred_element_type=jnp.float32)
 
     acc = jax.lax.fori_loop(
         0, n, trip, jnp.zeros((2 * SW, 128), jnp.float32))

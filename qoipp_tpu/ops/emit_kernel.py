@@ -109,7 +109,6 @@ def _emit_kernel(base_ref, off_hbm, tlo_hbm, thn_hbm, out_ref,
     ) + 1
     n = jnp.minimum(n, LENR - 1 - lr)
 
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
     stripe_ids = jax.lax.broadcasted_iota(jnp.int32, (SW, 128), 0)
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 1)
 
@@ -137,9 +136,13 @@ def _emit_kernel(base_ref, off_hbm, tlo_hbm, thn_hbm, out_ref,
             [jnp.where(hot, h0, 0.0),
              jnp.where(hot, h1, 0.0),
              jnp.where(hot, h2, 0.0)], axis=0)
-        bm = (tl[0][:, None] == lanes).astype(jnp.float32)
-        return acc + jax.lax.dot(
-            a, bm, precision=_F32_HI, preferred_element_type=jnp.float32)
+        # contract both operands' LANE axes so tl stays lane-major (the
+        # (tl[:, None] == lanes) form forced a relayout every trip)
+        out_l = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        bm_t = (out_l == tl).astype(jnp.float32)
+        return acc + jax.lax.dot_general(
+            a, bm_t, (((1,), (1,)), ((), ())),
+            precision=_F32_HI, preferred_element_type=jnp.float32)
 
     acc = jax.lax.fori_loop(
         0, n, trip, jnp.zeros((3 * SW, 128), jnp.float32))

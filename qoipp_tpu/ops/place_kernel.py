@@ -104,7 +104,6 @@ def _place_fill_kernel(base_ref, pb_hbm, emit_hbm, out_ref,
     ) + 1
     n = jnp.minimum(n, LENR - 1 - lr)
 
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
     stripe_ids = jax.lax.broadcasted_iota(jnp.int32, (SW, 128), 0)
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 1)
 

@@ -49,7 +49,13 @@ from .place_kernel import _flat_shift
 WIN = 8192          # output bytes per window (= per grid step)
 SW = WIN // 128     # output stripes per window
 LENR = SW + 24      # candidate slabs fetched per step (worst case + align)
+LENR_BUF = -(-LENR // 16) * 16  # scratch rows: LENR rounded to the tranche
+# grid (the tranche DMA loop writes whole tranches; a buffer sized exactly
+# LENR overflows when need == LENR -- OOB VMEM write)
 _F32_HI = jax.lax.Precision.HIGHEST
+
+
+TRANCHE = 16  # slabs per DMA tranche (content-proportional fetch)
 
 
 def _emit_kernel(base_ref, off_hbm, tlo_hbm, thn_hbm, out_ref,
@@ -58,29 +64,44 @@ def _emit_kernel(base_ref, off_hbm, tlo_hbm, thn_hbm, out_ref,
     s = pl.program_id(1)
     nsteps = pl.num_programs(1)
 
-    def issue(slot, bb, ss):
+    def _span(bb, ss):
+        """(aligned first slab, intra-alignment offset, #rows) for window
+        ss, from the base array (nsteps+1 entries) — fetch size tracks
+        actual content instead of the LENR worst case."""
         ba = (base_ref[bb, ss] // 8) * 8
-        pltpu.make_async_copy(
-            off_hbm.at[bb, pl.ds(ba, LENR), :], off_buf.at[slot],
-            sems.at[slot, 0]).start()
-        pltpu.make_async_copy(
-            tlo_hbm.at[bb, pl.ds(ba, LENR), :], tlo_buf.at[slot],
-            sems.at[slot, 1]).start()
-        pltpu.make_async_copy(
-            thn_hbm.at[bb, pl.ds(ba, LENR), :], thn_buf.at[slot],
-            sems.at[slot, 2]).start()
+        lr = base_ref[bb, ss] - ba
+        need = jnp.minimum(
+            lr + base_ref[bb, ss + 1] - base_ref[bb, ss] + 3, LENR
+        )
+        return ba, lr, need
+
+    def _tranches(fn, slot, bb, ss):
+        ba, _, need = _span(bb, ss)
+        ntr = (need + TRANCHE - 1) // TRANCHE
+
+        def tr(t, _):
+            r0 = t * TRANCHE
+            fn(off_hbm.at[bb, pl.ds(ba + r0, TRANCHE), :],
+               off_buf.at[slot, pl.ds(r0, TRANCHE)], sems.at[slot, 0])
+            fn(tlo_hbm.at[bb, pl.ds(ba + r0, TRANCHE), :],
+               tlo_buf.at[slot, pl.ds(r0, TRANCHE)], sems.at[slot, 1])
+            fn(thn_hbm.at[bb, pl.ds(ba + r0, TRANCHE), :],
+               thn_buf.at[slot, pl.ds(r0, TRANCHE)], sems.at[slot, 2])
+            return 0
+
+        jax.lax.fori_loop(0, ntr, tr, 0)
+
+    def issue(slot, bb, ss):
+        _tranches(
+            lambda src, dst, sem: pltpu.make_async_copy(src, dst, sem).start(),
+            slot, bb, ss,
+        )
 
     def wait(slot, bb, ss):
-        ba = (base_ref[bb, ss] // 8) * 8
-        pltpu.make_async_copy(
-            off_hbm.at[bb, pl.ds(ba, LENR), :], off_buf.at[slot],
-            sems.at[slot, 0]).wait()
-        pltpu.make_async_copy(
-            tlo_hbm.at[bb, pl.ds(ba, LENR), :], tlo_buf.at[slot],
-            sems.at[slot, 1]).wait()
-        pltpu.make_async_copy(
-            thn_hbm.at[bb, pl.ds(ba, LENR), :], thn_buf.at[slot],
-            sems.at[slot, 2]).wait()
+        _tranches(
+            lambda src, dst, sem: pltpu.make_async_copy(src, dst, sem).wait(),
+            slot, bb, ss,
+        )
 
     slot = jax.lax.rem(s, 2)
 
@@ -99,15 +120,8 @@ def _emit_kernel(base_ref, off_hbm, tlo_hbm, thn_hbm, out_ref,
         issue(1 - slot, b, s + 1)
 
     w0 = s * WIN
-    off_full = off_buf[slot, :, :]   # (LENR, 128) i32
-    last_off = off_full[:, 127:128]
-    first_off = off_full[:, 0:1]
-
-    lr = jnp.sum((last_off < w0).astype(jnp.int32))
-    n = jnp.sum(
-        ((first_off < w0 + WIN) & (last_off >= w0)).astype(jnp.int32)
-    ) + 1
-    n = jnp.minimum(n, LENR - 1 - lr)
+    _, lr, need = _span(b, s)
+    n = jnp.minimum(need - lr - 2, LENR - 1 - lr)
 
     stripe_ids = jax.lax.broadcasted_iota(jnp.int32, (SW, 128), 0)
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 1)
@@ -205,10 +219,10 @@ def emit_bytes(off, tlo, thn, base_step, out_cap: int,
     b, c = off.shape
     assert c % 128 == 0 and out_cap % WIN == 0
     nsteps = out_cap // WIN
-    assert base_step.shape == (b, nsteps)
+    assert base_step.shape == (b, nsteps + 1)
 
     cr = c // 128
-    pad_r = LENR + 8
+    pad_r = LENR_BUF + 8
     off3 = jnp.pad(
         off.reshape(b, cr, 128), ((0, 0), (0, pad_r), (0, 0)),
         constant_values=out_cap + WIN,
@@ -226,9 +240,9 @@ def emit_bytes(off, tlo, thn, base_step, out_cap: int,
         ],
         out_specs=pl.BlockSpec((1, SW, 128), lambda i, j, ref: (i, j, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, LENR, 128), jnp.int32),
-            pltpu.VMEM((2, LENR, 128), jnp.uint32),
-            pltpu.VMEM((2, LENR, 128), jnp.uint32),
+            pltpu.VMEM((2, LENR_BUF, 128), jnp.int32),
+            pltpu.VMEM((2, LENR_BUF, 128), jnp.uint32),
+            pltpu.VMEM((2, LENR_BUF, 128), jnp.uint32),
             pltpu.SemaphoreType.DMA((2, 3)),
             pltpu.SMEM((4,), jnp.int32),
         ],
@@ -243,9 +257,10 @@ def emit_bytes(off, tlo, thn, base_step, out_cap: int,
 
 
 def window_base_rows(off, out_cap: int):
-    """(B, nwin) int32: #128-row slabs whose last off < w*WIN — a safe
-    lower bound (in slab units) on window w's first candidate slab."""
+    """(B, nwin + 1) int32: #128-row slabs whose last off < w*WIN —
+    window w's first candidate slab; entry w+1 is the (exclusive) end of
+    w's range, sizing the content-proportional tranche fetch."""
     nwin = out_cap // WIN
     lastoff = off[:, 127::128]  # (B, C/128)
-    bounds = (jnp.arange(nwin, dtype=jnp.int32) * WIN)[None, None, :]
+    bounds = (jnp.arange(nwin + 1, dtype=jnp.int32) * WIN)[None, None, :]
     return jnp.sum((lastoff[:, :, None] < bounds).astype(jnp.int32), axis=1)

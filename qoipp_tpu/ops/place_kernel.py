@@ -10,14 +10,13 @@ the replay kernel's byte-domain output (no compaction pass):
     (boundary pass prefix sum) lands inside it — at most 5*WIN + 4 rows,
     because every real chunk is <= 5 bytes and produces >= 1 pixel.
   * Candidate byte rows stream in as 128-row slabs through a manually
-    double-buffered DMA (the Pallas Element-indexed pipeline does not
-    overlap dynamic-offset fetches; measured 3 us/step unhidden).  A
-    per-window dynamic trip count visits only the slabs whose pb range
-    intersects the window — compressed streams touch ~1/6 of the
-    worst-case bound.
-  * Placement is one MXU one-hot matmul per slab: rows carry two exact
-    f32 planes (lo16 + 1, hi16) and land at stripe pb>>7 / lane pb&127
-    (window starts are multiples of 128, so the lane one-hot is
+    double-buffered tranche DMA sized from the base array — the fetch
+    tracks actual content instead of the worst case (a 30-40x overfetch
+    on compressed streams), and the Pallas element-indexed pipeline
+    would not overlap dynamic-offset fetches anyway.
+  * Placement is one MXU contraction per slab: rows carry two
+    exact f32 planes (lo16 + 1, hi16) and land at stripe pb>>7 / lane
+    pb&127 (window starts are multiples of 128, so the lane one-hot is
     window-independent).  The +1 bias doubles as the written-flag, so no
     third plane is needed.  Non-chunk rows are masked in-kernel: row r
     starts a chunk iff pb[r+1] > pb[r] (the boundary prefix sum
@@ -43,7 +42,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 WIN = 8192          # pixels per placement window (= per grid step)
 SW = WIN // 128     # output stripes per window
-LENR = 5 * SW + 24  # candidate slabs fetched per step (worst case + align)
+SLAB = 128          # chunk rows per slab (dynamic sublane slices need
+# 128-lane rows; wider slabs force 8-aligned loads and group padding
+# that measured slower overall)
+TRANCHE = 16        # slabs per DMA tranche (content-proportional fetch)
+LENR = 5 * WIN // SLAB + 24   # candidate slabs per step (worst case + align)
+LENR_BUF = -(-LENR // TRANCHE) * TRANCHE  # scratch rows: LENR rounded to
+# the tranche grid (the tranche DMA loop writes whole tranches; a buffer
+# sized exactly LENR overflows when need == LENR -- OOB VMEM write)
 _F32_HI = jax.lax.Precision.HIGHEST
 
 
@@ -61,23 +67,50 @@ def _place_fill_kernel(base_ref, pb_hbm, emit_hbm, out_ref,
     s = pl.program_id(1)
     nsteps = pl.num_programs(1)
 
+    def _span(bb, ss):
+        """(aligned first slab, offset, #slabs to fetch) for window ss —
+        from the base array alone (nsteps+1 entries), so fetch size
+        tracks actual content (the worst-case LENR is a 30-40x overfetch
+        on compressed streams)."""
+        b0 = base_ref[bb, ss]
+        ba = (b0 // 8) * 8
+        lr = b0 - ba
+        need = jnp.minimum(lr + base_ref[bb, ss + 1] - b0 + 3, LENR)
+        return ba, lr, need
+
     def issue(slot, bb, ss):
-        ba = (base_ref[bb, ss] // 8) * 8
-        pltpu.make_async_copy(
-            pb_hbm.at[bb, pl.ds(ba, LENR), :], pb_buf.at[slot],
-            sems.at[slot, 0]).start()
-        pltpu.make_async_copy(
-            emit_hbm.at[bb, pl.ds(ba, LENR), :], em_buf.at[slot],
-            sems.at[slot, 1]).start()
+        ba, _, need = _span(bb, ss)
+        ntr = (need + TRANCHE - 1) // TRANCHE
+
+        def tr(t, _):
+            pltpu.make_async_copy(
+                pb_hbm.at[bb, pl.ds(ba + t * TRANCHE, TRANCHE), :],
+                pb_buf.at[slot, pl.ds(t * TRANCHE, TRANCHE)],
+                sems.at[slot, 0]).start()
+            pltpu.make_async_copy(
+                emit_hbm.at[bb, pl.ds(ba + t * TRANCHE, TRANCHE), :],
+                em_buf.at[slot, pl.ds(t * TRANCHE, TRANCHE)],
+                sems.at[slot, 1]).start()
+            return 0
+
+        jax.lax.fori_loop(0, ntr, tr, 0)
 
     def wait(slot, bb, ss):
-        ba = (base_ref[bb, ss] // 8) * 8
-        pltpu.make_async_copy(
-            pb_hbm.at[bb, pl.ds(ba, LENR), :], pb_buf.at[slot],
-            sems.at[slot, 0]).wait()
-        pltpu.make_async_copy(
-            emit_hbm.at[bb, pl.ds(ba, LENR), :], em_buf.at[slot],
-            sems.at[slot, 1]).wait()
+        ba, _, need = _span(bb, ss)
+        ntr = (need + TRANCHE - 1) // TRANCHE
+
+        def tr(t, _):
+            pltpu.make_async_copy(
+                pb_hbm.at[bb, pl.ds(ba + t * TRANCHE, TRANCHE), :],
+                pb_buf.at[slot, pl.ds(t * TRANCHE, TRANCHE)],
+                sems.at[slot, 0]).wait()
+            pltpu.make_async_copy(
+                emit_hbm.at[bb, pl.ds(ba + t * TRANCHE, TRANCHE), :],
+                em_buf.at[slot, pl.ds(t * TRANCHE, TRANCHE)],
+                sems.at[slot, 1]).wait()
+            return 0
+
+        jax.lax.fori_loop(0, ntr, tr, 0)
 
     slot = jax.lax.rem(s, 2)
 
@@ -94,15 +127,8 @@ def _place_fill_kernel(base_ref, pb_hbm, emit_hbm, out_ref,
         issue(1 - slot, b, s + 1)
 
     w0 = s * WIN
-    pb_full = pb_buf[slot, :, :]    # (LENR, 128) i32
-    last_pb = pb_full[:, 127:128]   # (LENR, 1)
-    first_pb = pb_full[:, 0:1]
-
-    lr = jnp.sum((last_pb < w0).astype(jnp.int32))
-    n = jnp.sum(
-        ((first_pb < w0 + WIN) & (last_pb >= w0)).astype(jnp.int32)
-    ) + 1
-    n = jnp.minimum(n, LENR - 1 - lr)
+    _, lr, need = _span(b, s)
+    n = jnp.minimum(need - lr - 2, LENR - 1 - lr)
 
     stripe_ids = jax.lax.broadcasted_iota(jnp.int32, (SW, 128), 0)
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 1)
@@ -130,7 +156,7 @@ def _place_fill_kernel(base_ref, pb_hbm, emit_hbm, out_ref,
         # stays lane-major — building (tl[:, None] == lanes) forced a
         # lane->sublane relayout every trip
         out_l = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
-        bm_t = (out_l == tl).astype(jnp.float32)  # (128 out-lanes, 128 chunks)
+        bm_t = (out_l == tl).astype(jnp.float32)  # (128 out-lanes, 128)
         return acc + jax.lax.dot_general(
             a, bm_t, (((1,), (1,)), ((), ())),
             precision=_F32_HI, preferred_element_type=jnp.float32)
@@ -163,9 +189,9 @@ def place_fill(pb, emits, base_step, n_cap: int,
     emits: (B, Q) uint32 — replay kernel output (value each chunk emits;
            non-chunk rows repeat the running prev and are masked out here
            via the pb-increment test).
-    base_step: (B, n_cap//WIN) int32 — #slabs with last pb < w*WIN (see
-           window_base_rows); a lower bound on each window's first
-           candidate slab, in 128-row units.
+    base_step: (B, n_cap//WIN + 1) int32 — #SLAB-row slabs with last pb <
+           w*WIN (see window_base_rows); entry w is window w's first
+           candidate slab and entry w+1 ends its fetch range.
     n_cap: output pixels per image; n_cap % WIN == 0.
 
     Returns (B, n_cap) uint32 packed pixels; positions beyond the last
@@ -176,15 +202,20 @@ def place_fill(pb, emits, base_step, n_cap: int,
     b, q = pb.shape
     assert q % 128 == 0 and n_cap % WIN == 0
     nsteps = n_cap // WIN
-    assert base_step.shape == (b, nsteps)
+    assert base_step.shape == (b, nsteps + 1)
 
-    qr = q // 128
-    pad_r = LENR + 8
+    pad_q = (-q) % SLAB
+    if pad_q:
+        pb = jnp.pad(pb, ((0, 0), (0, pad_q)), constant_values=n_cap)
+        emits = jnp.pad(emits, ((0, 0), (0, pad_q)))
+        q += pad_q
+    qr = q // SLAB
+    pad_r = LENR_BUF + TRANCHE
     pb3 = jnp.pad(
-        pb.reshape(b, qr, 128), ((0, 0), (0, pad_r), (0, 0)),
+        pb.reshape(b, qr, SLAB), ((0, 0), (0, pad_r), (0, 0)),
         constant_values=n_cap,
     )
-    em3 = jnp.pad(emits.reshape(b, qr, 128), ((0, 0), (0, pad_r), (0, 0)))
+    em3 = jnp.pad(emits.reshape(b, qr, SLAB), ((0, 0), (0, pad_r), (0, 0)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -195,8 +226,8 @@ def place_fill(pb, emits, base_step, n_cap: int,
         ],
         out_specs=pl.BlockSpec((1, SW, 128), lambda i, j, ref: (i, j, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, LENR, 128), jnp.int32),
-            pltpu.VMEM((2, LENR, 128), jnp.uint32),
+            pltpu.VMEM((2, LENR_BUF, SLAB), jnp.int32),
+            pltpu.VMEM((2, LENR_BUF, SLAB), jnp.uint32),
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SMEM((2,), jnp.int32),
         ],
@@ -211,9 +242,14 @@ def place_fill(pb, emits, base_step, n_cap: int,
 
 
 def window_base_rows(pb, n_cap: int):
-    """(B, nwin) int32: #128-row slabs whose last pb < w*WIN — a safe lower
-    bound (in slab units) on window w's first candidate slab."""
+    """(B, nwin + 1) int32: #SLAB-row slabs whose last pb < w*WIN — window
+    w's first candidate slab; entry w+1 doubles as the (exclusive) end of
+    w's candidate range, which sizes the kernel's content-proportional
+    tranche fetch."""
     nwin = n_cap // WIN
-    lastpb = pb[:, 127::128]  # (B, Q/128)
-    bounds = (jnp.arange(nwin, dtype=jnp.int32) * WIN)[None, None, :]
+    pad_q = (-pb.shape[1]) % SLAB
+    if pad_q:
+        pb = jnp.pad(pb, ((0, 0), (0, pad_q)), constant_values=n_cap)
+    lastpb = pb[:, SLAB - 1 :: SLAB]  # (B, Q/SLAB)
+    bounds = (jnp.arange(nwin + 1, dtype=jnp.int32) * WIN)[None, None, :]
     return jnp.sum((lastpb[:, :, None] < bounds).astype(jnp.int32), axis=1)

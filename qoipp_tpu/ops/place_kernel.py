@@ -132,17 +132,10 @@ def _place_fill_kernel(base_ref, pb_hbm, emit_hbm, out_ref,
 
     stripe_ids = jax.lax.broadcasted_iota(jnp.int32, (SW, 128), 0)
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 1)
+    out_l = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
 
-    def trip(rr, acc):
-        pbr2 = pb_buf[slot, pl.ds(lr + rr, 2), :]  # rows r, r+1
-        pbr = pbr2[0:1]  # (1, 128)
-        # next element in flat order: lane c+1, last lane takes next row
-        rolled = pltpu.roll(pbr2, 127, axis=1)  # = roll by -1 mod 128
-        down = jnp.concatenate([rolled[1:], rolled[:1]], axis=0)
-        nxt = jnp.where(lane1 < 127, rolled, down)[0:1]
-        covers = nxt > pbr  # chunk start producing >= 1 pixel
-
-        vr = pltpu.bitcast(em_buf[slot, pl.ds(lr + rr, 1), :], jnp.int32)
+    def _slab(pbr, nxtr, vr, acc):
+        covers = nxtr > pbr  # chunk start producing >= 1 pixel
         t = pbr - w0
         m = covers & (t >= 0) & (t < WIN)
         ts = jnp.where(m, t >> 7, -1)
@@ -155,14 +148,37 @@ def _place_fill_kernel(base_ref, pb_hbm, emit_hbm, out_ref,
         # contract both operands' LANE axes (dot_general (1,1)) so tl
         # stays lane-major — building (tl[:, None] == lanes) forced a
         # lane->sublane relayout every trip
-        out_l = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
         bm_t = (out_l == tl).astype(jnp.float32)  # (128 out-lanes, 128)
         return acc + jax.lax.dot_general(
             a, bm_t, (((1,), (1,)), ((), ())),
             precision=_F32_HI, preferred_element_type=jnp.float32)
 
-    acc = jax.lax.fori_loop(
-        0, n, trip, jnp.zeros((2 * SW, 128), jnp.float32))
+    # full groups of 8 slabs: ONE load, static in-group slices (cheapest
+    # per-slab form); the <8-slab tail falls back to dynamic trips
+    G = 8
+
+    def group(g, acc):
+        g0 = lr + g * G
+        pbg = pb_buf[slot, pl.ds(g0, G + 1), :]   # 8 slabs + look-ahead
+        emg = pltpu.bitcast(em_buf[slot, pl.ds(g0, G), :], jnp.int32)
+        rolled = pltpu.roll(pbg, 127, axis=1)  # row k: pb[k][(c+1)%128]
+        for k in range(G):
+            nxtr = jnp.where(
+                lane1[0:1] < 127, rolled[k : k + 1], rolled[k + 1 : k + 2]
+            )
+            acc = _slab(pbg[k : k + 1], nxtr, emg[k : k + 1], acc)
+        return acc
+
+    def trip(rr, acc):
+        pbr2 = pb_buf[slot, pl.ds(lr + rr, 2), :]  # rows r, r+1
+        rolled = pltpu.roll(pbr2, 127, axis=1)
+        nxtr = jnp.where(lane1[0:1] < 127, rolled[0:1], rolled[1:2])
+        vr = pltpu.bitcast(em_buf[slot, pl.ds(lr + rr, 1), :], jnp.int32)
+        return _slab(pbr2[0:1], nxtr, vr, acc)
+
+    acc = jnp.zeros((2 * SW, 128), jnp.float32)
+    acc = jax.lax.fori_loop(0, n // G, group, acc)
+    acc = jax.lax.fori_loop((n // G) * G, n, trip, acc)
 
     lo1_f = acc[:SW].astype(jnp.int32)
     hi_f = acc[SW:].astype(jnp.int32)

@@ -89,8 +89,9 @@ def _resolve_backend(backend: str, n_pixels: int) -> str:
     # small images are dominated by the ~30 ms dispatch round trip, and on
     # CPU-only hosts the Pallas kernels run in interpret mode (orders of
     # magnitude slower than the native oracle), so both route to native.
-    # Measured (v5e, 1920x1088): device decode ~1.2 GPix/s / encode ~0.4
-    # GPix/s batched vs oracle ~0.7 / ~0.08 GPix/s on this host's CPU.
+    # Measured (v5e, 1920x1088, BASELINE.md): device decode ~1.9 GPix/s /
+    # encode ~0.6 GPix/s batched vs oracle ~0.6-0.8 / ~0.2 GPix/s on this
+    # host's CPU.
     if n_pixels >= 1 << 18:
         try:
             import jax

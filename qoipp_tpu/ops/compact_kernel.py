@@ -39,15 +39,23 @@ BLK = 2048  # rows per grid step (K); must be a multiple of 128
 
 
 def _compact_kernel(nplanes: int, sout: int, gidx_ref, keep_ref, *rest):
-    """rest = plane_refs(nplanes) + out_refs(nplanes, ANY) + scratch:
-    pend (8, 128) f32 x (2*nplanes rows used), obuf (nplanes, sout, 128)
-    u32, sem (nplanes,) DMA semaphores."""
+    """rest = plane_refs(nplanes) + out_ref (ANY, merged planes) + scratch:
+    pend (8, 128) f32 x (2*nplanes rows used), obuf (2, nplanes, sout,
+    128) u32 double-buffered, sem (2,) DMA semaphores, prev (3,) SMEM
+    [prev_b, prev_row0, has_prev] for the deferred-wait protocol."""
     plane_refs = rest[:nplanes]
-    out_refs = rest[nplanes : 2 * nplanes]
-    pend_ref, obuf_ref, sem_ref = rest[2 * nplanes :]
+    out_ref = rest[nplanes]
+    pend_ref, obuf_ref, sem_ref, prev_ref = rest[nplanes + 1 :]
 
+    b = pl.program_id(0)
     j = pl.program_id(1)
+    nblk_ = pl.num_programs(1)
+    gslot = jax.lax.rem(b * nblk_ + j, 2)
     r = gidx_ref.shape[2]  # rows of 128 lanes per block (BLK // 128)
+
+    @pl.when((b == 0) & (j == 0))
+    def _reset0():
+        prev_ref[2] = 0
 
     @pl.when(j == 0)
     def _reset():
@@ -125,26 +133,43 @@ def _compact_kernel(nplanes: int, sout: int, gidx_ref, keep_ref, *rest):
         # int32 bit patterns equal the uint32 ones.
         lo = sections[2 * p].astype(jnp.int32)
         hi = sections[2 * p + 1].astype(jnp.int32)
-        obuf_ref[p] = (lo | (hi << 16)).astype(jnp.uint32)
+        obuf_ref[gslot, p] = (lo | (hi << 16)).astype(jnp.uint32)
 
-    b = pl.program_id(0)
     # Clamp keeps the DMA in bounds even if a caller-supplied cap is
     # exceeded (output is then garbage past the cap, never OOB; callers
     # detect via counts — see encode_batch_checked).
-    cap_rows = out_refs[0].shape[1]
+    cap_rows = out_ref.shape[2]
     row0 = jnp.minimum(row0, cap_rows - sout)
-    for p in range(nplanes):
-        dma = pltpu.make_async_copy(
-            obuf_ref.at[p],
-            out_refs[p].at[b, pl.ds(row0, sout), :],
-            sem_ref.at[p],
-        )
-        dma.start()
-    for p in range(nplanes):
+
+    # Deferred-wait protocol: the previous block's output DMA flies while
+    # this block computes; waiting for it HERE (before starting our own
+    # copy) both hides its latency and serializes the overlapping partial-
+    # row writes between consecutive windows.
+    @pl.when(prev_ref[2] == 1)
+    def _wait_prev():
         pltpu.make_async_copy(
-            obuf_ref.at[p],
-            out_refs[p].at[b, pl.ds(row0, sout), :],
-            sem_ref.at[p],
+            obuf_ref.at[1 - gslot],
+            out_ref.at[prev_ref[0], :, pl.ds(prev_ref[1], sout), :],
+            sem_ref.at[1 - gslot],
+        ).wait()
+
+    pltpu.make_async_copy(
+        obuf_ref.at[gslot],
+        out_ref.at[b, :, pl.ds(row0, sout), :],
+        sem_ref.at[gslot],
+    ).start()
+    prev_ref[0] = b
+    prev_ref[1] = row0
+    prev_ref[2] = 1
+
+    nb_ = pl.num_programs(0)
+
+    @pl.when((b == nb_ - 1) & (j == nblk_ - 1))
+    def _final_wait():
+        pltpu.make_async_copy(
+            obuf_ref.at[gslot],
+            out_ref.at[b, :, pl.ds(row0, sout), :],
+            sem_ref.at[gslot],
         ).wait()
 
 
@@ -184,18 +209,19 @@ def compact_rows(planes, keep, cap: int, blk: int = BLK,
     cap_rows = cap // 128
 
     kernel = partial(_compact_kernel, nplanes, sout)
-    outs = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(b, nblk),
         in_specs=[blkspec, blkspec] + [blkspec] * nplanes,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * nplanes,
-        out_shape=[
-            jax.ShapeDtypeStruct((b, cap_rows, 128), jnp.uint32)
-        ] * nplanes,
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, nplanes, cap_rows, 128), jnp.uint32
+        ),
         scratch_shapes=[
             pltpu.VMEM((8, 128), jnp.float32),
-            pltpu.VMEM((nplanes, sout, 128), jnp.uint32),
-            pltpu.SemaphoreType.DMA((nplanes,)),
+            pltpu.VMEM((2, nplanes, sout, 128), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((3,), jnp.int32),
         ],
         interpret=interpret,
     )(
@@ -203,7 +229,10 @@ def compact_rows(planes, keep, cap: int, blk: int = BLK,
         keep_i.reshape(shape4),
         *[p.reshape(shape4) for p in planes],
     )
-    return tuple(o.reshape(b, cap) for o in outs), counts
+    return (
+        tuple(out[:, p].reshape(b, cap) for p in range(nplanes)),
+        counts,
+    )
 
 
 def compact_rows_reference(planes, keep, cap: int):

@@ -125,26 +125,17 @@ def _emit_kernel(base_ref, off_hbm, tlo_hbm, thn_hbm, out_ref,
 
     stripe_ids = jax.lax.broadcasted_iota(jnp.int32, (SW, 128), 0)
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 1)
+    out_l = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
 
-    def trip(rr, acc):
-        offr2 = off_buf[slot, pl.ds(lr + rr, 2), :]  # rows r, r+1
-        offr = offr2[0:1]  # (1, 128)
-        rolled = pltpu.roll(offr2, 127, axis=1)  # = roll by -1 mod 128
-        down = jnp.concatenate([rolled[1:], rolled[:1]], axis=0)
-        nxt = jnp.where(lane1 < 127, rolled, down)[0:1]
-        covers = nxt > offr  # real chunk row (emits >= 1 byte)
-
+    def _slab(offr, nxtr, tlo, thn, acc):
+        covers = nxtr > offr  # real chunk row (emits >= 1 byte)
         t = offr - w0
         m = covers & (t >= 0) & (t < WIN)
         ts = jnp.where(m, t >> 7, -1)
         tl = jnp.where(m, t & 127, -1)
-
-        tlo = pltpu.bitcast(tlo_buf[slot, pl.ds(lr + rr, 1), :], jnp.int32)
-        thn = pltpu.bitcast(thn_buf[slot, pl.ds(lr + rr, 1), :], jnp.int32)
         h0 = ((tlo & 0xFFFF) + 1).astype(jnp.float32)  # +1 = written flag
         h1 = ((tlo >> 16) & 0xFFFF).astype(jnp.float32)
         h2 = (thn & 0xFFFF).astype(jnp.float32)
-
         hot = ts == stripe_ids  # (SW, 128)
         a = jnp.concatenate(
             [jnp.where(hot, h0, 0.0),
@@ -152,14 +143,41 @@ def _emit_kernel(base_ref, off_hbm, tlo_hbm, thn_hbm, out_ref,
              jnp.where(hot, h2, 0.0)], axis=0)
         # contract both operands' LANE axes so tl stays lane-major (the
         # (tl[:, None] == lanes) form forced a relayout every trip)
-        out_l = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
         bm_t = (out_l == tl).astype(jnp.float32)
         return acc + jax.lax.dot_general(
             a, bm_t, (((1,), (1,)), ((), ())),
             precision=_F32_HI, preferred_element_type=jnp.float32)
 
-    acc = jax.lax.fori_loop(
-        0, n, trip, jnp.zeros((3 * SW, 128), jnp.float32))
+    # full groups of 8 slabs from ONE load with static in-group slices
+    # (a dynamic-offset slab load costs ~3x a static slice); dynamic-trip
+    # tail for the remainder
+    G = 8
+
+    def group(g, acc):
+        g0 = lr + g * G
+        offg = off_buf[slot, pl.ds(g0, G + 1), :]
+        tlog = pltpu.bitcast(tlo_buf[slot, pl.ds(g0, G), :], jnp.int32)
+        thng = pltpu.bitcast(thn_buf[slot, pl.ds(g0, G), :], jnp.int32)
+        rolled = pltpu.roll(offg, 127, axis=1)  # row k: off[k][(c+1)%128]
+        for k in range(G):
+            nxtr = jnp.where(
+                lane1[0:1] < 127, rolled[k : k + 1], rolled[k + 1 : k + 2]
+            )
+            acc = _slab(offg[k : k + 1], nxtr, tlog[k : k + 1],
+                        thng[k : k + 1], acc)
+        return acc
+
+    def trip(rr, acc):
+        offr2 = off_buf[slot, pl.ds(lr + rr, 2), :]  # rows r, r+1
+        rolled = pltpu.roll(offr2, 127, axis=1)
+        nxtr = jnp.where(lane1[0:1] < 127, rolled[0:1], rolled[1:2])
+        tlo = pltpu.bitcast(tlo_buf[slot, pl.ds(lr + rr, 1), :], jnp.int32)
+        thn = pltpu.bitcast(thn_buf[slot, pl.ds(lr + rr, 1), :], jnp.int32)
+        return _slab(offr2[0:1], nxtr, tlo, thn, acc)
+
+    acc = jnp.zeros((3 * SW, 128), jnp.float32)
+    acc = jax.lax.fori_loop(0, n // G, group, acc)
+    acc = jax.lax.fori_loop((n // G) * G, n, trip, acc)
 
     h0 = acc[:SW].astype(jnp.int32)
     h1 = acc[SW:2 * SW].astype(jnp.int32)

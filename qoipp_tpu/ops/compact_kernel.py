@@ -50,12 +50,12 @@ def _compact_kernel(nplanes: int, sout: int, gidx_ref, keep_ref, *rest):
     b = pl.program_id(0)
     j = pl.program_id(1)
     nblk_ = pl.num_programs(1)
-    gslot = jax.lax.rem(b * nblk_ + j, 2)
     r = gidx_ref.shape[2]  # rows of 128 lanes per block (BLK // 128)
 
     @pl.when((b == 0) & (j == 0))
     def _reset0():
         prev_ref[2] = 0
+        prev_ref[3] = 0
 
     @pl.when(j == 0)
     def _reset():
@@ -63,6 +63,7 @@ def _compact_kernel(nplanes: int, sout: int, gidx_ref, keep_ref, *rest):
 
     gidx = gidx_ref[0, 0].astype(jnp.int32)  # (r, 128)
     keep = keep_ref[0, 0] != 0  # (r, 128)
+    cov = jnp.sum(keep.astype(jnp.int32))
 
     r0 = gidx[0, 0]
     rot = jax.lax.rem(r0, 128)
@@ -73,103 +74,112 @@ def _compact_kernel(nplanes: int, sout: int, gidx_ref, keep_ref, *rest):
     ts = t // 128  # target stripe in [0, sout)
     tl = jnp.where(keep, t - ts * 128, -1)  # target lane
 
-    nh = 2 * nplanes  # 16-bit halves
-    k = r * 128
-    halves = []
-    for p in range(nplanes):
-        v = plane_refs[p][0, 0]  # (r, 128) uint32
-        # Mosaic has no u32->f32 cast; the halves fit int32 exactly.
-        halves.append(
-            (v & 0xFFFF).astype(jnp.int32).astype(jnp.float32).reshape(1, k)
+    # Empty blocks (run interiors, flat regions) skip compute and the
+    # output DMA entirely — the carried pend row and write frontier
+    # are unchanged by a zero-coverage window.
+    @pl.when(cov > 0)
+    def _compact_block():
+        gslot = prev_ref[3]
+        nh = 2 * nplanes  # 16-bit halves
+        k = r * 128
+        halves = []
+        for p in range(nplanes):
+            v = plane_refs[p][0, 0]  # (r, 128) uint32
+            # Mosaic has no u32->f32 cast; the halves fit int32 exactly.
+            halves.append(
+                (v & 0xFFFF).astype(jnp.int32).astype(jnp.float32).reshape(1, k)
+            )
+            halves.append(
+                (v >> 16).astype(jnp.int32).astype(jnp.float32).reshape(1, k)
+            )
+
+        # acc[(h, s), l] = sum_k halves[h][k] * (ts[k] == s) * (tl[k] == l)
+        # as ONE MXU-shaped contraction: A (nh*sout, K) x BmT (128, K) over
+        # the shared K axis (dot_general (1,1): both operands keep K on
+        # lanes, so neither needs a lane->sublane relayout — the earlier
+        # per-row formulation relayouted tl[rr] once per row).
+        ts_flat = ts.reshape(1, k)
+        s_rows = jax.lax.broadcasted_iota(jnp.int32, (sout, k), 0)
+        a_secs = [
+            jnp.where(ts_flat == s_rows, halves[h], 0.0) for h in range(nh)
+        ]
+        a = jnp.concatenate(a_secs, axis=0)  # (nh*sout, K)
+        l_rows = jax.lax.broadcasted_iota(jnp.int32, (128, k), 0)
+        bmat_t = (tl.reshape(1, k) == l_rows).astype(jnp.float32)  # (128, K)
+        acc = jax.lax.dot_general(
+            a, bmat_t, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
         )
-        halves.append(
-            (v >> 16).astype(jnp.int32).astype(jnp.float32).reshape(1, k)
-        )
 
-    # acc[(h, s), l] = sum_k halves[h][k] * (ts[k] == s) * (tl[k] == l)
-    # as ONE MXU-shaped contraction: A (nh*sout, K) x BmT (128, K) over
-    # the shared K axis (dot_general (1,1): both operands keep K on
-    # lanes, so neither needs a lane->sublane relayout — the earlier
-    # per-row formulation relayouted tl[rr] once per row).
-    ts_flat = ts.reshape(1, k)
-    s_rows = jax.lax.broadcasted_iota(jnp.int32, (sout, k), 0)
-    a_secs = [
-        jnp.where(ts_flat == s_rows, halves[h], 0.0) for h in range(nh)
-    ]
-    a = jnp.concatenate(a_secs, axis=0)  # (nh*sout, K)
-    l_rows = jax.lax.broadcasted_iota(jnp.int32, (128, k), 0)
-    bmat_t = (tl.reshape(1, k) == l_rows).astype(jnp.float32)  # (128, K)
-    acc = jax.lax.dot_general(
-        a, bmat_t, (((1,), (1,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
+        # merge the carried partial row into stripe 0 of every half
+        pend = pend_ref[:, :]  # (8, 128) f32, rows [0, nh) used
+        sections = []
+        for h in range(nh):
+            sec = acc[h * sout : (h + 1) * sout]  # (sout, 128)
+            sec = jnp.concatenate([sec[:1] + pend[h][None, :], sec[1:]], axis=0)
+            sections.append(sec)
 
-    # merge the carried partial row into stripe 0 of every half
-    pend = pend_ref[:, :]  # (8, 128) f32, rows [0, nh) used
-    sections = []
-    for h in range(nh):
-        sec = acc[h * sout : (h + 1) * sout]  # (sout, 128)
-        sec = jnp.concatenate([sec[:1] + pend[h][None, :], sec[1:]], axis=0)
-        sections.append(sec)
+        # new pending = the partially-filled row at the window's write frontier
+        endpos = rot + cov
+        last_row = endpos // 128
+        newrot = endpos - last_row * 128
+        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (sout, 128), 0)
+        for h in range(nh):
+            # dynamic row extract via one-hot sum (no dynamic_slice in Mosaic)
+            tail = jnp.sum(
+                jnp.where(row_ids == last_row, sections[h], 0.0),
+                axis=0, keepdims=True,
+            )
+            pend_ref[h, :] = jnp.where(lane1 < newrot, tail, 0.0)[0]
 
-    # new pending = the partially-filled row at the window's write frontier
-    cov = jnp.sum(keep.astype(jnp.int32))
-    endpos = rot + cov
-    last_row = endpos // 128
-    newrot = endpos - last_row * 128
-    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (sout, 128), 0)
-    for h in range(nh):
-        # dynamic row extract via one-hot sum (no dynamic_slice in Mosaic)
-        tail = jnp.sum(
-            jnp.where(row_ids == last_row, sections[h], 0.0),
-            axis=0, keepdims=True,
-        )
-        pend_ref[h, :] = jnp.where(lane1 < newrot, tail, 0.0)[0]
+        for p in range(nplanes):
+            # f32 -> i32 is the supported path; halves are < 2^16 so the
+            # int32 bit patterns equal the uint32 ones.
+            lo = sections[2 * p].astype(jnp.int32)
+            hi = sections[2 * p + 1].astype(jnp.int32)
+            obuf_ref[gslot, p] = (lo | (hi << 16)).astype(jnp.uint32)
 
-    for p in range(nplanes):
-        # f32 -> i32 is the supported path; halves are < 2^16 so the
-        # int32 bit patterns equal the uint32 ones.
-        lo = sections[2 * p].astype(jnp.int32)
-        hi = sections[2 * p + 1].astype(jnp.int32)
-        obuf_ref[gslot, p] = (lo | (hi << 16)).astype(jnp.uint32)
+        # Clamp keeps the DMA in bounds even if a caller-supplied cap is
+        # exceeded (output is then garbage past the cap, never OOB; callers
+        # detect via counts — see encode_batch_checked).
+        cap_rows = out_ref.shape[2]
+        row0c = jnp.minimum(row0, cap_rows - sout)
 
-    # Clamp keeps the DMA in bounds even if a caller-supplied cap is
-    # exceeded (output is then garbage past the cap, never OOB; callers
-    # detect via counts — see encode_batch_checked).
-    cap_rows = out_ref.shape[2]
-    row0 = jnp.minimum(row0, cap_rows - sout)
+        # Deferred-wait protocol: the previous block's output DMA flies while
+        # this block computes; waiting for it HERE (before starting our own
+        # copy) both hides its latency and serializes the overlapping partial-
+        # row writes between consecutive windows.
+        @pl.when(prev_ref[2] == 1)
+        def _wait_prev():
+            pltpu.make_async_copy(
+                obuf_ref.at[1 - gslot],
+                out_ref.at[prev_ref[0], :, pl.ds(prev_ref[1], sout), :],
+                sem_ref.at[1 - gslot],
+            ).wait()
 
-    # Deferred-wait protocol: the previous block's output DMA flies while
-    # this block computes; waiting for it HERE (before starting our own
-    # copy) both hides its latency and serializes the overlapping partial-
-    # row writes between consecutive windows.
-    @pl.when(prev_ref[2] == 1)
-    def _wait_prev():
         pltpu.make_async_copy(
-            obuf_ref.at[1 - gslot],
-            out_ref.at[prev_ref[0], :, pl.ds(prev_ref[1], sout), :],
-            sem_ref.at[1 - gslot],
-        ).wait()
+            obuf_ref.at[gslot],
+            out_ref.at[b, :, pl.ds(row0c, sout), :],
+            sem_ref.at[gslot],
+        ).start()
+        prev_ref[0] = b
+        prev_ref[1] = row0c
+        prev_ref[2] = 1
+        prev_ref[3] = 1 - gslot
 
-    pltpu.make_async_copy(
-        obuf_ref.at[gslot],
-        out_ref.at[b, :, pl.ds(row0, sout), :],
-        sem_ref.at[gslot],
-    ).start()
-    prev_ref[0] = b
-    prev_ref[1] = row0
-    prev_ref[2] = 1
 
     nb_ = pl.num_programs(0)
 
-    @pl.when((b == nb_ - 1) & (j == nblk_ - 1))
+    @pl.when((b == nb_ - 1) & (j == nblk_ - 1) & (prev_ref[2] == 1))
     def _final_wait():
+        # prev_ref points at the last STARTED dma (ours if this block
+        # compacted anything, else an earlier block's)
         pltpu.make_async_copy(
-            obuf_ref.at[gslot],
-            out_ref.at[b, :, pl.ds(row0, sout), :],
-            sem_ref.at[gslot],
+            obuf_ref.at[1 - prev_ref[3]],
+            out_ref.at[prev_ref[0], :, pl.ds(prev_ref[1], sout), :],
+            sem_ref.at[1 - prev_ref[3]],
         ).wait()
 
 
@@ -221,7 +231,7 @@ def compact_rows(planes, keep, cap: int, blk: int = BLK,
             pltpu.VMEM((8, 128), jnp.float32),
             pltpu.VMEM((2, nplanes, sout, 128), jnp.uint32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SMEM((3,), jnp.int32),
+            pltpu.SMEM((4,), jnp.int32),
         ],
         interpret=interpret,
     )(

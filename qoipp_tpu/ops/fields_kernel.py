@@ -23,6 +23,16 @@ kernel computes the same fields with every intermediate living in VMEM:
 
 Bit-exact with _encode_fields for every input (differential-tested in
 tests/test_fields_kernel.py).  Reference encoder loop: simple.cpp:36-89.
+
+STATUS: retired experiment, not on the production path.  Its first
+Mosaic lowering measured relayout-bound (39 us/block vs ~1 us of real
+compute: the (R,128,128) lane-broadcasts of sublane-varying data —
+see CLAUDE.md's Mosaic layout rules, learned from this kernel).  The
+production encoder instead compacts FIRST and runs the XLA table scan
+on the 5-10x smaller chunk domain (ops/encode._encode_kernel_impl),
+which beats both this kernel and the dense XLA pass.  Kept with its
+differential tests as the reference for a future transposed-layout
+attempt.
 """
 
 from __future__ import annotations

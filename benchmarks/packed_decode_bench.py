@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Stream-packed decode on the real mixed-geometry corpus.
+
+The un-bucketed batch pipeline pays B * max(stream) on mixed corpora and
+the bucketed scheduler still pays per-bucket padding + dispatches
+(BASELINE.md).  Packing (models/packed.py) makes replay work track
+sum(sizes): whole real images of ANY geometry/channels share lanes.
+
+Usage: python benchmarks/packed_decode_bench.py [--replicate N]
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+sys.path.insert(0, str(ROOT / "tests"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicate", type=int, default=4)
+    ap.add_argument("--runs", type=int, default=5)
+    ap.add_argument("--lane-kb", type=int, default=256)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from qoipp_tpu import oracle
+    from qoipp_tpu.models.packed import PackedDecoder, plan_lanes
+    from qoipp_tpu.models import packed as packed_mod
+    from qoipp_tpu.utils.timing import enable_compile_cache
+    import local_corpus
+
+    enable_compile_cache()
+    items = local_corpus.build()
+    blobs = [np.fromfile(p, np.uint8) for _, _, _, _, p in items]
+    raws = [raw for _, _, raw, _, _ in items]
+    descs = [d for _, _, _, d, _ in items]
+    # packing wants many SHORT lanes (replay depth = lane bytes): streams
+    # larger than the lane cap belong to the batched/bucketed pipeline in
+    # a composite deployment -- bench the packable tail
+    cap = args.lane_kb << 10
+    kept = [i for i, b in enumerate(blobs) if b.size - 22 <= cap]
+    dropped = len(blobs) - len(kept)
+    blobs = [blobs[i] for i in kept]
+    raws = [raws[i] for i in kept]
+    descs = [descs[i] for i in kept]
+    if dropped:
+        print(f"(+{dropped} streams over {args.lane_kb} KB routed to the "
+              f"batched pipeline in a composite deployment)", file=sys.stderr)
+    blobs = blobs * args.replicate
+    raws = raws * args.replicate
+    descs = descs * args.replicate
+    total_px = sum(d.width * d.height for d in descs)
+    total_mb = sum(b.size for b in blobs) / 1e6
+    print(f"corpus: {len(blobs)} real images (mixed geometry/channels), "
+          f"{total_mb:.1f} MB streams, {total_px/1e6:.1f} MPix",
+          file=sys.stderr)
+
+    t0 = time.perf_counter()
+    for b_, d in zip(blobs, descs):
+        oracle.decode(b_, d, d.channels)
+    t_or = time.perf_counter() - t0
+    print(f"oracle: {total_px/t_or/1e6:.1f} MPix/s ({t_or*1e3:.0f} ms)",
+          file=sys.stderr)
+
+    dec = PackedDecoder(lane_bytes=cap)
+    got = dec.decode(blobs)  # cold: compiles + parity material
+    ok = all(np.array_equal(g, r) for g, r in zip(got, raws))
+    print(f"packed parity: {'100%' if ok else 'FAILED'}", file=sys.stderr)
+
+    # end-to-end (host pack + device + host slice)
+    t0 = time.perf_counter()
+    for _ in range(args.runs):
+        dec.decode(blobs)
+    t_e2e = (time.perf_counter() - t0) / args.runs
+
+    # device-only: stage the packed lanes once, time the jit
+    arrs = blobs
+    hdrs = descs
+    its = [(a.size - 22, d.width * d.height) for a, d in zip(arrs, hdrs)]
+    lanes = plan_lanes(its, dec.lane_bytes)
+    while len(lanes) % 16 or len(lanes) < 16:
+        lanes.append([])
+    qb = dec.lane_bytes
+    L = len(lanes)
+    regions = np.zeros((L, qb + 8), np.uint8)
+    flags = np.zeros((L, qb + 8), np.uint8)
+    sizes = np.zeros(L, np.int32)
+    lane_px = np.zeros(L, np.int64)
+    for Li, members in enumerate(lanes):
+        boff = poff = 0
+        for i in members:
+            sz, npx = its[i]
+            regions[Li, boff : boff + sz] = arrs[i][14 : 14 + sz]
+            flags[Li, boff] = 1
+            boff += sz
+            poff += npx
+        sizes[Li] = boff
+        lane_px[Li] = poff
+    n_cap = -(-int(lane_px.max()) // 8192) * 8192
+    regions_d = jnp.asarray(regions)
+    flags_d = jnp.asarray(flags)
+    sizes_d = jnp.asarray(sizes)
+    jax.block_until_ready(packed_mod._decode_lanes(
+        regions_d, flags_d, sizes_d, qb=qb, n_cap=n_cap))
+    t0 = time.perf_counter()
+    for _ in range(args.runs):
+        out = packed_mod._decode_lanes(
+            regions_d, flags_d, sizes_d, qb=qb, n_cap=n_cap)
+    jax.block_until_ready(out)
+    t_dev = (time.perf_counter() - t0) / args.runs
+
+    print(f"packed: device {total_px/t_dev/1e6:.1f} MPix/s "
+          f"({t_dev*1e3:.0f} ms, {L} lanes x {qb>>10} KB), "
+          f"end-to-end {total_px/t_e2e/1e6:.1f} MPix/s, parity "
+          f"{'100%' if ok else 'FAILED'}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

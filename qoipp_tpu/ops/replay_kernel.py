@@ -68,10 +68,21 @@ def _replay_kernel(prev_in_ref, seen_in_ref, meta_ref, val_ref,
         meta = meta_ref[t, :].reshape(1, b).astype(jnp.int32)
         val = val_ref[t, :].reshape(1, b)
         cls = meta & 7
-        arg = meta >> 3
+        arg = (meta >> 3) & 63
+        # bit 9: stream-start reset (packed lanes, models/packed.py) —
+        # this chunk begins a NEW stream in its lane: state re-enters the
+        # decoder's initial carry before the op applies
+        rst = (meta >> 9) & 1
 
-        prev = prev_scr[:]  # (1, b)
-        seen = seen_scr[:]  # (64, b)
+        prev = jnp.where(
+            rst == 1, jnp.uint32(START_PIXEL_PACKED), prev_scr[:]
+        )  # (1, b)
+        seen = jnp.where(
+            jnp.broadcast_to(rst == 1, (64, b)),
+            jnp.where(slots == _START_HASH,
+                      jnp.uint32(START_PIXEL_PACKED), jnp.uint32(0)),
+            seen_scr[:],
+        )  # (64, b)
 
         hot_r = slots == arg  # (64, b), arg broadcast over sublanes
         # one-hot "gather": exactly one addend per lane, so a signed sum

@@ -12,7 +12,15 @@ import numpy as np
 import pytest
 
 from qoipp_tpu.ops import encode as enc_ops
-from qoipp_tpu.ops import fields_kernel as fk
+
+import importlib.util as _ilu
+import pathlib as _pl
+
+_spec = _ilu.spec_from_file_location(
+    "fields_kernel", _pl.Path(__file__).parent / "fields_kernel.py"
+)
+fk = _ilu.module_from_spec(_spec)
+_spec.loader.exec_module(fk)
 from qoipp_tpu.ops.bitops import pixels_to_packed
 
 NB = 3 * fk.BLK  # 3 blocks

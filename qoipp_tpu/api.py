@@ -53,19 +53,36 @@ def _materialize_gen(gen: Callable[[int], Pixel], desc: Desc) -> np.ndarray:
     block (the TPU-native analog of the reference streaming generator
     pixels through the core — array-in/array-out instead of per-pixel
     virtual calls).  Scalar generators fall back to the per-pixel loop.
+
+    Dispatch: an explicit ``gen.vectorized`` bool attribute wins; without
+    one, a single probe call with indices [0..3] decides, and its result is
+    REUSED for those pixels so every index is evaluated exactly once on the
+    fast path (a stateful *scalar* generator that also tolerates array input
+    should set ``vectorized = False`` to skip the probe entirely).
     """
     n = desc.width * desc.height
     ch = int(desc.channels)
 
-    try:
-        probe = np.asarray(gen(np.arange(min(n, 4), dtype=np.int64)))
-        vectorized = probe.shape == (min(n, 4), 4)
-    except Exception:
-        vectorized = False
+    vec_attr = getattr(gen, "vectorized", None)
+    probe = None
+    if isinstance(vec_attr, bool):
+        vectorized = vec_attr
+    else:
+        k = min(n, 4)
+        try:
+            probe = np.asarray(gen(np.arange(k, dtype=np.int64)))
+            vectorized = probe.shape == (k, 4)
+        except Exception:
+            probe = None
+            vectorized = False
     if vectorized:
         out = np.empty((n, ch), dtype=np.uint8)
+        start = 0
+        if probe is not None:
+            start = probe.shape[0]
+            out[:start] = probe.astype(np.uint8)[:, :ch]
         blk = 1 << 20
-        for s in range(0, n, blk):
+        for s in range(start, n, blk):
             ids = np.arange(s, min(s + blk, n), dtype=np.int64)
             px = np.asarray(gen(ids), dtype=np.uint8)
             out[s : s + ids.size] = px[:, :ch]

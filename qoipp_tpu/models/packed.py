@@ -111,9 +111,13 @@ class PackedDecoder:
         items = [
             (a.size - 22, d.width * d.height) for a, d in zip(arrs, descs)
         ]
-        assert all(sz <= self.lane_bytes for sz, _ in items), (
-            "stream exceeds lane capacity; raise lane_bytes"
-        )
+        for (sz, _), d in zip(items, descs):
+            if sz > self.lane_bytes:
+                raise ValueError(
+                    f"stream of {sz} body bytes exceeds lane capacity "
+                    f"{self.lane_bytes}; raise lane_bytes or route the "
+                    "stream to the batched pipeline"
+                )
         lanes = plan_lanes(items, self.lane_bytes)
         # pad the lane count to a sublane multiple: XLA picks a transposed
         # (18x-padded) layout for (7, several-M) u32 temps otherwise

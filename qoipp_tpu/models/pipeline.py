@@ -168,7 +168,11 @@ class BatchPipeline:
             arr = np.frombuffer(bytes(blob), np.uint8) if not isinstance(
                 blob, np.ndarray
             ) else blob
-            assert arr.size <= self.l_cap
+            if arr.size > self.l_cap:
+                raise ValueError(
+                    f"stream {i}: {arr.size} bytes exceeds pipeline l_cap "
+                    f"{self.l_cap}"
+                )
             out[i, : arr.size] = arr
             sizes[i] = arr.size
         return out, sizes

@@ -306,6 +306,13 @@ def expand_bytes_batch(emits, real, produced, pix_before, n_cap: int):
 
     emits: (B, qb) from the replay kernel (NOP rows emit the running prev,
     so shifts below are exact).
+
+    Engine selection is batch-global: ONE translucent lane routes the whole
+    batch through the general engine.  Both engines are exact, so this is a
+    throughput (not correctness) trade, and the production batched pipeline
+    does not come through here at all (ops/place_kernel.py handles alpha
+    uniformly); this path serves decode_single and the sp/scan engines,
+    whose batches are single-image — where the switch IS per-image.
     """
     b, qb = emits.shape
     row = n_cap + 1

@@ -17,16 +17,20 @@ from ..utils.timing import enable_compile_cache
 from . import encode as enc_ops
 from .bitops import pixels_to_packed
 
-# Per-shape codec compiles take tens of seconds through the remoted TPU
-# runtime; share them across processes unless the user already configured
-# a cache location.
-if jax.config.jax_compilation_cache_dir is None:
-    enable_compile_cache()
+def _ensure_cache() -> None:
+    # Per-shape codec compiles take tens of seconds through the remoted TPU
+    # runtime; share them across calls unless the user already configured a
+    # cache location.  Deliberately lazy: importing the library must not
+    # mutate global JAX config (applications embedding qoipp_tpu may manage
+    # their own cache), so this runs at the first codec entry call instead.
+    if jax.config.jax_compilation_cache_dir is None:
+        enable_compile_cache()
 
 
 def encode_single(raw: np.ndarray, desc: Desc) -> np.ndarray:
     """Encode one image's raw bytes -> QOI byte stream (numpy), bit-exact
     with the reference encoder."""
+    _ensure_cache()
     channels = int(desc.channels)
     n_px = desc.width * desc.height
     nb = enc_ops.bucket_size(n_px)
@@ -50,6 +54,7 @@ def decode_single(data: np.ndarray, desc: Desc, dst_channels: Channels) -> np.nd
     """Decode one QOI byte stream -> raw bytes (numpy), bit-exact with the
     reference decoder for all inputs, including truncated/tolerant streams
     (ops/decode.py handles tolerance directly — no oracle fallback)."""
+    _ensure_cache()
     from . import decode as dec_ops
 
     return dec_ops.decode_single(data, desc, dst_channels)

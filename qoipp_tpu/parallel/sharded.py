@@ -67,7 +67,15 @@ def make_dp_encode(pipeline, mesh: Mesh, axis: str = "data"):
         return pipeline._encode_impl(packed)
 
     def dp_encode(packed):
-        streams, lengths, _ = dp_encode_checked(packed)
+        streams, lengths, ok = dp_encode_checked(packed)
+        # Same contract as pipeline.encode_packed: overflow of the per-image
+        # byte cap is an error, never a silently truncated stream.
+        if not bool(jnp.all(ok)):
+            bad = [i for i, o in enumerate(jax.device_get(ok)) if not o]
+            raise ValueError(
+                f"dp_encode: images {bad} exceed max_encode_len; rebuild the "
+                "pipeline with a larger cap (worst_size) for these images"
+            )
         return streams, lengths
 
     return dp_encode

@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Encode-side stream packing on the real mixed-geometry corpus.
+
+The un-bucketed batch pipeline pays B * max(pixels) on mixed corpora
+(BASELINE.md: 240-274 MPix/s device encode on real content).  Packed
+encode lanes (models/packed.PackedEncoder) make the compact + table-scan
++ emit work track sum(pixels): whole real images of ANY geometry and
+channels share lanes.
+
+Usage: python benchmarks/packed_encode_bench.py [--replicate N]
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+sys.path.insert(0, str(ROOT / "tests"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicate", type=int, default=4)
+    ap.add_argument("--runs", type=int, default=5)
+    ap.add_argument("--lane-kpx", type=int, default=512,
+                    help="lane pixel-slot capacity in Ki-pixels")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from qoipp_tpu import oracle
+    from qoipp_tpu.models.packed import PackedEncoder
+    from qoipp_tpu.ops import encode as enc_ops
+    from qoipp_tpu.utils.timing import enable_compile_cache
+    import local_corpus
+
+    enable_compile_cache()
+    items = local_corpus.build()
+    raws = [raw for _, _, raw, _, _ in items]
+    descs = [d for _, _, _, d, _ in items]
+    cap_px = (args.lane_kpx << 10) - 2
+    kept = [i for i, d in enumerate(descs) if d.width * d.height <= cap_px]
+    dropped = len(descs) - len(kept)
+    raws = [raws[i] for i in kept] * args.replicate
+    descs = [descs[i] for i in kept] * args.replicate
+    if dropped:
+        print(f"(+{dropped} images over {args.lane_kpx} Kpx routed to the "
+              f"batched pipeline in a composite deployment)", file=sys.stderr)
+    total_px = sum(d.width * d.height for d in descs)
+    print(f"corpus: {len(raws)} real images (mixed geometry/channels), "
+          f"{total_px/1e6:.1f} MPix", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    refs = [oracle.encode(r, d)[0] for r, d in zip(raws, descs)]
+    t_or = time.perf_counter() - t0
+    print(f"oracle: {total_px/t_or/1e6:.1f} MPix/s ({t_or*1e3:.0f} ms)",
+          file=sys.stderr)
+
+    enc = PackedEncoder(lane_px=args.lane_kpx << 10)
+    got = enc.encode(raws, descs)  # cold: compiles + parity material
+    ok = all(np.array_equal(g, r) for g, r in zip(got, refs))
+    print(f"packed encode parity: {'100%' if ok else 'FAILED'}",
+          file=sys.stderr)
+
+    # end-to-end (host pack + device + host slice)
+    t0 = time.perf_counter()
+    for _ in range(args.runs):
+        enc.encode(raws, descs)
+    t_e2e = (time.perf_counter() - t0) / args.runs
+
+    # device-only: stage the packed lanes once, time the jit
+    import qoipp_tpu.models.packed as pm
+    from qoipp_tpu.ops import emit_kernel
+
+    plan_items = [(d.width * d.height + 2, d.width * d.height) for d in descs]
+    lanes = pm.plan_lanes(plan_items, enc.lane_px)
+    while len(lanes) % 8 or len(lanes) < 8:
+        lanes.append([])
+    L, np_ = len(lanes), enc.lane_px
+    packed = np.zeros((L, np_), np.uint32)
+    flags = np.zeros((L, np_), np.uint8)
+    worst = np.zeros(L, np.int64)
+    max_members = 1
+    for Li, members in enumerate(lanes):
+        off = 0
+        for i in members:
+            d = descs[i]
+            npx = d.width * d.height
+            ch = int(d.channels)
+            packed[Li, off:off + npx] = pm._pack_pixels_np(raws[i], ch)
+            flags[Li, off] |= enc_ops.FLAG_SEG_START
+            flags[Li, off:off + npx] |= enc_ops.FLAG_VALID
+            flags[Li, off + npx] = enc_ops.FLAG_TAIL0
+            flags[Li, off + npx + 1] = enc_ops.FLAG_TAIL1
+            off += npx + 2
+            worst[Li] += (ch + 1) * npx + 9
+        max_members = max(max_members, len(members))
+    out_cap = -(-int(worst.max()) // emit_kernel.WIN) * emit_kernel.WIN
+    ends_cap = -(-(max_members + 2048 + 128) // 128) * 128
+    packed_d = jnp.asarray(packed)
+    flags_d = jnp.asarray(flags)
+
+    def run():
+        return enc_ops._encode_lanes_impl(
+            packed_d, flags_d, enc.chunk_cap, out_cap, ends_cap
+        )
+
+    jax.block_until_ready(run())
+    t0 = time.perf_counter()
+    for _ in range(args.runs):
+        out = run()
+    jax.block_until_ready(out)
+    t_dev = (time.perf_counter() - t0) / args.runs
+
+    print(f"packed encode: device {total_px/t_dev/1e6:.1f} MPix/s "
+          f"({t_dev*1e3:.0f} ms, {L} lanes x {np_>>10} Kpx), "
+          f"end-to-end {total_px/t_e2e/1e6:.1f} MPix/s, parity "
+          f"{'100%' if ok else 'FAILED'}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

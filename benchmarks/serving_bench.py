@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Composite serving codec on the FULL real mixed corpus (no stream
+dropped): one front-end call, engines routed by size.
+
+This is the serving-shaped workload of the north star: decode a mixed
+directory of real images (tiny icons .. multi-MB photos) at >= 1 GPix/s
+with 100% parity, through qoipp_tpu.models.serving.ServingCodec.
+
+Usage: python benchmarks/serving_bench.py [--replicate N]
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+sys.path.insert(0, str(ROOT / "tests"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicate", type=int, default=8)
+    ap.add_argument("--runs", type=int, default=5)
+    ap.add_argument("--lane-kb", type=int, default=256)
+    ap.add_argument("--no-encode", action="store_true")
+    args = ap.parse_args()
+
+    from qoipp_tpu import oracle
+    from qoipp_tpu.models.serving import ServingCodec
+    from qoipp_tpu.utils.timing import enable_compile_cache
+    import local_corpus
+
+    enable_compile_cache()
+    items = local_corpus.build()
+    blobs = [np.fromfile(p, np.uint8) for _, _, _, _, p in items]
+    raws = [raw for _, _, raw, _, _ in items]
+    descs = [d for _, _, _, d, _ in items]
+    blobs = blobs * args.replicate
+    raws = raws * args.replicate
+    descs = descs * args.replicate
+    total_px = sum(d.width * d.height for d in descs)
+    print(f"corpus: {len(blobs)} real images (mixed, INCLUDING over-cap), "
+          f"{sum(b.size for b in blobs)/1e6:.1f} MB streams, "
+          f"{total_px/1e6:.1f} MPix", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    for b_, d in zip(blobs, descs):
+        oracle.decode(b_, d, d.channels)
+    t_or = time.perf_counter() - t0
+    print(f"oracle decode: {total_px/t_or/1e6:.1f} MPix/s", file=sys.stderr)
+
+    codec = ServingCodec(pack_lane_bytes=args.lane_kb << 10)
+    got = codec.decode(blobs)  # cold: compiles + parity material
+    ok_dec = all(np.array_equal(g, r) for g, r in zip(got, raws))
+    print(f"serving decode parity: {'100%' if ok_dec else 'FAILED'}",
+          file=sys.stderr)
+    t0 = time.perf_counter()
+    for _ in range(args.runs):
+        codec.decode(blobs)
+    t_dec = (time.perf_counter() - t0) / args.runs
+    print(f"serving decode: {total_px/t_dec/1e6:.1f} MPix/s end-to-end "
+          f"({t_dec*1e3:.0f} ms)")
+
+    if args.no_encode:
+        return 0 if ok_dec else 1
+
+    t0 = time.perf_counter()
+    refs = [oracle.encode(r, d)[0] for r, d in zip(raws, descs)]
+    t_ore = time.perf_counter() - t0
+    print(f"oracle encode: {total_px/t_ore/1e6:.1f} MPix/s", file=sys.stderr)
+
+    streams = codec.encode(raws, descs)
+    ok_enc = all(np.array_equal(s, r) for s, r in zip(streams, refs))
+    print(f"serving encode parity: {'100%' if ok_enc else 'FAILED'}",
+          file=sys.stderr)
+    t0 = time.perf_counter()
+    for _ in range(args.runs):
+        codec.encode(raws, descs)
+    t_enc = (time.perf_counter() - t0) / args.runs
+    print(f"serving encode: {total_px/t_enc/1e6:.1f} MPix/s end-to-end "
+          f"({t_enc*1e3:.0f} ms)")
+    return 0 if (ok_dec and ok_enc) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

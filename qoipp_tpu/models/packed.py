@@ -34,9 +34,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..common import read_header
+from ..common import Desc, read_header, write_header
 from ..ops import boundary
 from ..ops import decode as dec_ops
+from ..ops import encode as enc_ops
 from ..ops import place_kernel
 from ..ops import replay_kernel as rk
 from ..ops.bitops import packed_to_pixels
@@ -168,3 +169,127 @@ class PackedDecoder:
                 )
             )
         return out
+
+
+# ---------------------------------------------------------------------------
+# Encode-side packing (the symmetric analog: ops/encode.encode_lanes_checked)
+# ---------------------------------------------------------------------------
+
+
+def _pack_pixels_np(raw: np.ndarray, channels: int) -> np.ndarray:
+    """Host-side (N*ch,) u8 -> (N,) u32 r|g<<8|b<<16|a<<24 (RGB: a=255)."""
+    px = raw.reshape(-1, channels).astype(np.uint32)
+    word = px[:, 0] | (px[:, 1] << 8) | (px[:, 2] << 16)
+    if channels == 4:
+        return word | (px[:, 3] << 24)
+    return word | np.uint32(0xFF000000)
+
+
+class PackedEncoder:
+    """Encode arbitrary mixed raw images through packed pixel lanes.
+
+    Streams of ANY geometry/channels concatenate back-to-back in the
+    pixel domain (plus 2 reserved tail slots per stream that carry the
+    trailing run + end marker through compaction), so total device work
+    tracks sum(pixels) instead of B * max(pixels) — the encode-side
+    analog of PackedDecoder.  Bit-exact with the reference encoder
+    (source/simple.cpp:36-95) for every member stream.
+
+    lane_px: pixel-slot capacity per lane (the shape the jit caches on).
+    """
+
+    def __init__(self, lane_px: int = 1 << 20):
+        self.lane_px = _round_up(lane_px, 2048)
+        from ..ops.compact_kernel import BLK as CBLK
+        self.chunk_cap = _round_up(
+            self.lane_px + self.lane_px // 62 + CBLK + 256, 2048
+        )
+
+    def encode(self, raws: Sequence[np.ndarray],
+               descs: Sequence[Desc]) -> List[np.ndarray]:
+        """Raw pixel buffers + Descs -> list of complete QOI streams
+        (header + body), submission order."""
+        from ..ops import emit_kernel
+
+        if len(raws) != len(descs):
+            raise ValueError("raws and descs length mismatch")
+        items = []
+        for raw, d in zip(raws, descs):
+            npx = d.width * d.height
+            ch = int(d.channels)
+            if np.asarray(raw).size != npx * ch:
+                raise ValueError(
+                    f"raw buffer size {np.asarray(raw).size} != {npx * ch}"
+                )
+            if npx + 2 > self.lane_px:
+                raise ValueError(
+                    f"stream of {npx} px exceeds lane capacity "
+                    f"{self.lane_px - 2}; raise lane_px or route the "
+                    "stream to the batched pipeline"
+                )
+            items.append((npx + 2, npx))
+        lanes = plan_lanes(items, self.lane_px)
+        while len(lanes) % 8 or len(lanes) < 8:
+            lanes.append([])
+
+        L = len(lanes)
+        np_ = self.lane_px
+        packed = np.zeros((L, np_), np.uint32)
+        flags = np.zeros((L, np_), np.uint8)
+        # (stream idx) -> (lane, order within lane)
+        where: List[Tuple[int, int]] = [(0, 0)] * len(raws)
+        worst = np.zeros(L, np.int64)
+        max_members = 1
+        for Li, members in enumerate(lanes):
+            off = 0
+            for k, i in enumerate(members):
+                d = descs[i]
+                npx = d.width * d.height
+                ch = int(d.channels)
+                packed[Li, off : off + npx] = _pack_pixels_np(
+                    np.asarray(raws[i], dtype=np.uint8), ch
+                )
+                flags[Li, off] |= enc_ops.FLAG_SEG_START
+                flags[Li, off : off + npx] |= enc_ops.FLAG_VALID
+                flags[Li, off + npx] = enc_ops.FLAG_TAIL0
+                flags[Li, off + npx + 1] = enc_ops.FLAG_TAIL1
+                where[i] = (Li, k)
+                off += npx + 2
+                worst[Li] += (ch + 1) * npx + 9
+            max_members = max(max_members, len(members))
+
+        # compile-size buckets for the byte-domain output sweep
+        out_cap = _round_up(max(int(worst.max()), 1), emit_kernel.WIN)
+        b = emit_kernel.WIN
+        while b < out_cap:
+            b *= 2
+        for frac in (5 * b // 8, 3 * b // 4, 7 * b // 8):
+            if frac >= out_cap and frac % emit_kernel.WIN == 0:
+                b = frac
+                break
+        out_cap = b
+        ends_cap = _round_up(max_members + 2048 + 128, 128)
+
+        out, ends, nseg, ok = enc_ops.encode_lanes_checked(
+            jnp.asarray(packed), jnp.asarray(flags),
+            chunk_cap=self.chunk_cap, out_cap=out_cap, ends_cap=ends_cap,
+        )
+        if not bool(jnp.all(ok)):
+            raise ValueError(
+                "packed encode overflowed a lane cap (chunk_cap/out_cap); "
+                "file a bug — caps are sized from worst_size and cannot "
+                "overflow for valid inputs"
+            )
+        out = np.asarray(out)
+        ends = np.asarray(ends)
+
+        results: List[np.ndarray] = []
+        for i, d in enumerate(descs):
+            Li, k = where[i]
+            start = int(ends[Li, k - 1]) if k else 0
+            stop = int(ends[Li, k])
+            header = np.frombuffer(write_header(d), dtype=np.uint8)
+            results.append(
+                np.concatenate([header, out[Li, start:stop]])
+            )
+        return results

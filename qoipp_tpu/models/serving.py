@@ -1,0 +1,147 @@
+"""Composite serving codec: ONE front-end for arbitrary mixed corpora.
+
+The reference's single front-end handles any directory of mixed images by
+looping over files (reference: example/source/04_bench.cpp:849-876).  The
+TPU-native equivalent must instead ROUTE each stream to the engine whose
+execution shape fits it:
+
+  * stream packing (models/packed.py) — small/mid streams concatenate
+    into shared replay/compaction lanes; total device work tracks
+    sum(sizes).  Replay depth = lane bytes, so lanes stay short: this is
+    the tail engine.
+  * length-bucketed batching (models/scheduler.py over models/pipeline.py)
+    — streams above the lane cap group by geometry and run the batched
+    pipeline at tight per-bucket caps; the scan/replay engines inside it
+    handle single huge streams (the sp-sharded path extends this across
+    chips, parallel/sharded.py).
+
+Routing is by size against the pack-lane capacity — the measured
+crossover (BASELINE.md: packing wins below the lane cap because replay
+depth is shared; above it the per-image pipeline's window replay is
+shorter than a stretched lane would be).
+
+Everything stays 100% bit-exact with the reference codec; the router
+only picks execution shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..common import Desc, read_header
+from .packed import PackedDecoder, PackedEncoder
+from .scheduler import BucketedCodec
+
+
+class ServingCodec:
+    """Mixed-corpus QOI codec over the packed + bucketed engines.
+
+    Parameters
+    ----------
+    pack_lane_bytes: chunk-byte capacity of decode packing lanes; streams
+        with larger bodies route to the bucketed batch engine.
+    pack_lane_px: pixel-slot capacity of encode packing lanes; larger
+        images route to the bucketed batch engine.
+    growth / min_len: bucket geometry for the batch engine
+        (models/scheduler.BucketedCodec).
+    """
+
+    def __init__(self, pack_lane_bytes: int = 256 << 10,
+                 pack_lane_px: int = 1 << 20,
+                 growth: float = 2.0, min_len: int = 1 << 14):
+        self._dec_pack = PackedDecoder(lane_bytes=pack_lane_bytes)
+        self._enc_pack = PackedEncoder(lane_px=pack_lane_px)
+        self._growth = growth
+        self._min_len = min_len
+        self._buckets: Dict[Tuple[int, int, int], BucketedCodec] = {}
+
+    def _bucket(self, desc: Desc) -> BucketedCodec:
+        key = (desc.width, desc.height, int(desc.channels))
+        codec = self._buckets.get(key)
+        if codec is None:
+            codec = BucketedCodec(desc, growth=self._growth,
+                                  min_len=self._min_len)
+            self._buckets[key] = codec
+        return codec
+
+    # -- decode -------------------------------------------------------------
+
+    def decode(self, blobs: Sequence) -> List[np.ndarray]:
+        """QOI byte streams (ANY geometries/channels/lengths) -> list of
+        raw pixel buffers (each stream's native channels), submission
+        order."""
+        arrs = [
+            np.frombuffer(bytes(x), np.uint8)
+            if not isinstance(x, np.ndarray) else np.asarray(x, np.uint8)
+            for x in blobs
+        ]
+        descs: List[Desc] = []
+        for a in arrs:
+            h = read_header(a)
+            if not h:
+                raise ValueError(f"bad stream: {h.error()}")
+            descs.append(h.value())
+
+        results: List[Optional[np.ndarray]] = [None] * len(arrs)
+
+        packable = [
+            i for i, a in enumerate(arrs)
+            if a.size - 22 <= self._dec_pack.lane_bytes
+        ]
+        if packable:
+            for i, raw in zip(
+                packable, self._dec_pack.decode([arrs[i] for i in packable])
+            ):
+                results[i] = raw
+
+        rest = [i for i in range(len(arrs)) if results[i] is None]
+        by_geom: Dict[Tuple[int, int, int], List[int]] = {}
+        for i in rest:
+            d = descs[i]
+            by_geom.setdefault(
+                (d.width, d.height, int(d.channels)), []
+            ).append(i)
+        for key, idxs in by_geom.items():
+            codec = self._bucket(descs[idxs[0]])
+            imgs = codec.decode([arrs[i] for i in idxs])
+            for j, i in enumerate(idxs):
+                results[i] = imgs[j].reshape(-1)
+        return results  # type: ignore[return-value]
+
+    # -- encode -------------------------------------------------------------
+
+    def encode(self, raws: Sequence[np.ndarray],
+               descs: Sequence[Desc]) -> List[np.ndarray]:
+        """Raw pixel buffers + Descs (ANY geometries/channels) -> list of
+        complete QOI streams, submission order."""
+        if len(raws) != len(descs):
+            raise ValueError("raws and descs length mismatch")
+        raws = [np.asarray(r, np.uint8).reshape(-1) for r in raws]
+        results: List[Optional[np.ndarray]] = [None] * len(raws)
+
+        packable = [
+            i for i, d in enumerate(descs)
+            if d.width * d.height + 2 <= self._enc_pack.lane_px
+        ]
+        if packable:
+            got = self._enc_pack.encode(
+                [raws[i] for i in packable], [descs[i] for i in packable]
+            )
+            for i, stream in zip(packable, got):
+                results[i] = stream
+
+        rest = [i for i in range(len(raws)) if results[i] is None]
+        by_geom: Dict[Tuple[int, int, int], List[int]] = {}
+        for i in rest:
+            d = descs[i]
+            by_geom.setdefault(
+                (d.width, d.height, int(d.channels)), []
+            ).append(i)
+        for key, idxs in by_geom.items():
+            codec = self._bucket(descs[idxs[0]])
+            streams = codec.encode(np.stack([raws[i] for i in idxs]))
+            for j, i in enumerate(idxs):
+                results[i] = streams[j]
+        return results  # type: ignore[return-value]

@@ -121,6 +121,77 @@ def _last_same_hash_value(packed, h, noneq, incoming=None):
     return jnp.where(local_found, local_val, inc_at_px).reshape(-1)
 
 
+def _last_same_hash_value_seg(packed, h, noneq, seg):
+    """Segment-aware variant of _last_same_hash_value for PACKED encode
+    lanes (many independent streams concatenated in one row domain).
+
+    An entry j is visible to pixel i iff j < i, noneq[j], h[j] == h[i]
+    AND seg[j] == seg[i]: a new segment resets the 64-entry table, and
+    because seg ids are nondecreasing along the lane, the most recent
+    same-hash entry either belongs to i's own segment (visible) or to an
+    earlier one (reset -> the fresh table reads packed 0, which is a REAL
+    value: pixel {0,0,0,0} INDEX-hits a fresh table, as in the reference's
+    zero-initialized seen array).  No reset absorption is needed in the
+    cross-tile scan — carrying each entry's seg id and comparing at lookup
+    is equivalent, precisely because ids are monotone.
+    """
+    nb = packed.shape[0]
+    s = nb // TILE
+    ph = packed.reshape(s, TILE)
+    hh = h.reshape(s, TILE).astype(jnp.int32)
+    ne = noneq.reshape(s, TILE)
+    sg = seg.reshape(s, TILE).astype(jnp.int32)
+
+    j_ids = jnp.arange(TILE, dtype=jnp.int32)
+
+    pair = (
+        (hh[:, None, :] == hh[:, :, None])
+        & (j_ids[None, None, :] < j_ids[None, :, None])
+        & ne[:, None, :]
+        & (sg[:, None, :] == sg[:, :, None])
+    )
+    lastj = jnp.max(jnp.where(pair, j_ids[None, None, :], -1), axis=2)
+    local_found = lastj >= 0
+    local_hot = lastj[:, :, None] == j_ids[None, None, :]
+    local_val = jnp.sum(
+        jnp.where(local_hot, ph[:, None, :], jnp.uint32(0)), axis=2
+    )
+
+    # per-tile, per-slot summary: last noneq entry (value + its seg id)
+    slot_ids = jnp.arange(64, dtype=jnp.int32)
+    covers = (hh[:, None, :] == slot_ids[None, :, None]) & ne[:, None, :]
+    tj = jnp.max(jnp.where(covers, j_ids[None, None, :], -1), axis=2)
+    t_written = tj >= 0
+    t_hot = tj[:, :, None] == j_ids[None, None, :]
+    t_val = jnp.sum(jnp.where(t_hot, ph[:, None, :], jnp.uint32(0)), axis=2)
+    t_seg = jnp.sum(jnp.where(t_hot, sg[:, None, :], 0), axis=2)
+
+    # cross-tile exclusive overwrite fill of (value, seg, written)
+    sv, sd, sw = t_val, t_seg, t_written
+    k = 1
+    while k < s:
+        pv = jnp.concatenate([jnp.zeros((k, 64), sv.dtype), sv[:-k]], axis=0)
+        pd = jnp.concatenate([jnp.zeros((k, 64), sd.dtype), sd[:-k]], axis=0)
+        pw = jnp.concatenate([jnp.zeros((k, 64), bool), sw[:-k]], axis=0)
+        sv = jnp.where(sw, sv, pv)
+        sd = jnp.where(sw, sd, pd)
+        sw = sw | pw
+        k *= 2
+    inc_v = jnp.concatenate([jnp.zeros((1, 64), sv.dtype), sv[:-1]], axis=0)
+    inc_d = jnp.concatenate([jnp.zeros((1, 64), sd.dtype), sd[:-1]], axis=0)
+    inc_w = jnp.concatenate([jnp.zeros((1, 64), bool), sw[:-1]], axis=0)
+
+    slot_hot = hh[:, :, None] == slot_ids[None, None, :]
+    px_v = jnp.sum(jnp.where(slot_hot, inc_v[:, None, :], jnp.uint32(0)), axis=2)
+    px_d = jnp.sum(jnp.where(slot_hot, inc_d[:, None, :], 0), axis=2)
+    px_w = jnp.sum(jnp.where(slot_hot, inc_w[:, None, :].astype(jnp.int32), 0),
+                   axis=2) > 0
+    # incoming entry applies only if it came from THIS pixel's segment;
+    # otherwise the table was reset -> fresh slots read packed 0
+    fallback = jnp.where(px_w & (px_d == sg), px_v, jnp.uint32(0))
+    return jnp.where(local_found, local_val, fallback).reshape(-1)
+
+
 def _encode_fields(packed, n_px, channels: int,
                    carry_prev=None, carry_run=None, carry_seen=None):
     """Per-pixel op selection + byte templates (vmap-safe: no scatters).
@@ -580,6 +651,262 @@ def encode_batch_checked(packed, n_px, header, channels: int, *,
     return _encode_kernel_impl(
         packed, n_px, header, channels, chunk_cap, out_cap
     )
+
+
+# ---------------------------------------------------------------------------
+# Packed-lane encode: many whole streams per compaction/emission lane, the
+# encode-side analog of models/packed.py decode lanes.  Total work tracks
+# sum(pixels) instead of B * max(pixels): streams of ANY geometry/channels
+# concatenate back-to-back in the pixel domain, with TWO reserved "tail
+# slots" between streams whose compacted rows carry each stream's trailing
+# run + end marker (reference: source/simple.cpp:91-95), and segment resets
+# ride in a dense flag plane.  The reference has no analog — it encodes
+# images one at a time (simple.cpp:36-95).
+# ---------------------------------------------------------------------------
+
+FLAG_SEG_START = 1  # first pixel of a stream
+FLAG_TAIL0 = 2      # reserved slot: trailing-run byte + marker bytes 0..4
+FLAG_TAIL1 = 4      # reserved slot: marker bytes 5..7
+FLAG_VALID = 8      # real pixel
+
+
+@partial(jax.jit, static_argnames=("chunk_cap", "out_cap", "ends_cap"))
+def _encode_lanes_impl(packed, flags, chunk_cap: int, out_cap: int,
+                       ends_cap: int):
+    """Segmented compact-first encode over packed pixel lanes.
+
+    packed: (L, Np) uint32 pixel words (tail slots / padding arbitrary).
+    flags:  (L, Np) uint8 FLAG_* bits (host-built at pack time).
+    Returns (out (L, out_cap) u8 bodies, ends (L, ends_cap) i32 per-stream
+    exclusive byte ends in pack order, nseg (L,), ok (L,)).  Stream s of a
+    lane occupies out[ends[s-1]:ends[s]] (headers are NOT emitted — the
+    caller prepends the 14-byte header it already knows).
+    """
+    from .compact_kernel import BLK as CBLK
+    from .compact_kernel import compact_rows
+    from . import emit_kernel
+
+    l, np_ = packed.shape
+    idx = jnp.broadcast_to(jnp.arange(np_, dtype=jnp.int32)[None, :], (l, np_))
+
+    seg_start = (flags & FLAG_SEG_START) != 0
+    t0_d = (flags & FLAG_TAIL0) != 0
+    t1_d = (flags & FLAG_TAIL1) != 0
+    valid = (flags & FLAG_VALID) != 0
+
+    # ---- dense per-pixel pass (segment-reset aware) ----------------------
+    prev = jnp.concatenate(
+        [jnp.full((l, 1), START_PIXEL_PACKED, jnp.uint32), packed[:, :-1]],
+        axis=1,
+    )
+    prev = jnp.where(seg_start, START_PIXEL_PACKED, prev)
+    eq_raw = (packed == prev) & valid
+    noneq = valid & ~eq_raw
+
+    seg_base = jax.lax.cummax(jnp.where(seg_start, idx, 0), axis=1)
+    last_brk = jnp.maximum(
+        jax.lax.cummax(jnp.where(noneq, idx, -1), axis=1), seg_base - 1
+    )
+    cnt = idx - last_brk
+    hit62 = eq_raw & (cnt % 62 == 0)
+
+    # trailing run pending at each stream's end, read at its tail0 slot
+    trail_expr = jnp.where(eq_raw, cnt % 62, 0)
+    trail_at = jnp.concatenate(
+        [jnp.zeros((l, 1), jnp.int32), trail_expr[:, :-1]], axis=1
+    )
+    trail_at2 = jnp.concatenate(
+        [jnp.zeros((l, 2), jnp.int32), trail_expr[:, :-2]], axis=1
+    )
+    # tail0 sits 1 past the stream's last pixel, tail1 sits 2 past — both
+    # rows need has_trail (tail1's marker split depends on it)
+    trailing = jnp.where(t0_d, trail_at, jnp.where(t1_d, trail_at2, 0))
+    has_trail_d = trailing > 0
+    trail_byte_d = (TAG_RUN | ((trailing - 1) & 0x3F)).astype(jnp.uint32)
+
+    packed_aug = jnp.where(
+        t0_d, trail_byte_d | (has_trail_d.astype(jnp.uint32) << 8),
+        jnp.where(t1_d, has_trail_d.astype(jnp.uint32) << 8, packed),
+    )
+    posflag = (
+        idx.astype(jnp.uint32)
+        | (t0_d.astype(jnp.uint32) << 26)
+        | (t1_d.astype(jnp.uint32) << 27)
+        | (noneq.astype(jnp.uint32) << 30)
+    )
+    keep = noneq | hit62 | t0_d | t1_d
+
+    # ---- compact to the chunk domain ------------------------------------
+    pad = (-np_) % CBLK
+    if pad:
+        packed_aug = jnp.pad(packed_aug, ((0, 0), (0, pad)))
+        posflag = jnp.pad(posflag, ((0, 0), (0, pad)))
+        keep = jnp.pad(keep, ((0, 0), (0, pad)))
+    (pk_c, pf_c), counts = compact_rows((packed_aug, posflag), keep,
+                                        cap=chunk_cap)
+    rows = jnp.arange(chunk_cap, dtype=jnp.int32)[None, :]
+    valid_c = rows < counts[:, None]
+    pk_c = jnp.where(valid_c, pk_c, 0)
+    pf_c = jnp.where(valid_c, pf_c, 0)
+    pos = (pf_c & 0x3FFFFFF).astype(jnp.int32)
+    t0 = valid_c & (((pf_c >> 26) & 1) == 1)
+    t1 = valid_c & (((pf_c >> 27) & 1) == 1)
+    nq_c = valid_c & (((pf_c >> 30) & 1) == 1)
+    is_tail = t0 | t1
+    run_row = valid_c & ~nq_c & ~is_tail  # 62-flush rows
+
+    # segment id per chunk row = count of tail1 rows strictly before
+    t1_i = t1.astype(jnp.int32)
+    seg_c = jnp.cumsum(t1_i, axis=1) - t1_i
+
+    # prev pixel: previous chunk row's pixel, reset to START at each
+    # segment's first row (= the row after a tail1, or row 0)
+    after_t1 = jnp.concatenate(
+        [jnp.ones((l, 1), bool), t1[:, :-1]], axis=1
+    )
+    prev_c = jnp.concatenate(
+        [jnp.full((l, 1), START_PIXEL_PACKED, jnp.uint32), pk_c[:, :-1]],
+        axis=1,
+    )
+    prev_c = jnp.where(after_t1, START_PIXEL_PACKED, prev_c)
+    pos_prev = jnp.concatenate(
+        [jnp.full((l, 1), -1, jnp.int32), pos[:, :-1]], axis=1
+    )
+    gap = jnp.where(valid_c, pos - pos_prev - 1, 0)
+
+    # ---- sparse fields on chunk rows (segment-aware table) ---------------
+    h = hash6(pk_c)
+    table_val = jax.vmap(_last_same_hash_value_seg)(pk_c, h, nq_c, seg_c)
+    is_index = nq_c & (table_val == pk_c)
+
+    a_cur = unpack_channel(pk_c, 3)
+    a_prev = unpack_channel(prev_c, 3)
+    # RGB streams pack alpha=0xFF everywhere, so alpha_changed is
+    # intrinsically False for them — no per-stream channels gate needed
+    # (reference guard simple.cpp:59-63 is unreachable for RGB anyway)
+    is_rgba = nq_c & ~is_index & (a_cur != a_prev)
+
+    dr = to_int8(unpack_channel(pk_c, 0) - unpack_channel(prev_c, 0))
+    dg = to_int8(unpack_channel(pk_c, 1) - unpack_channel(prev_c, 1))
+    db = to_int8(unpack_channel(pk_c, 2) - unpack_channel(prev_c, 2))
+    dr_dg = to_int8((dr - dg).astype(jnp.uint32))
+    db_dg = to_int8((db - dg).astype(jnp.uint32))
+    in_diff = (
+        (dr >= -2) & (dr <= 1) & (dg >= -2) & (dg <= 1) & (db >= -2) & (db <= 1)
+    )
+    in_luma = (
+        (dg >= -32) & (dg <= 31)
+        & (dr_dg >= -8) & (dr_dg <= 7)
+        & (db_dg >= -8) & (db_dg <= 7)
+    )
+    rest = nq_c & ~is_index & ~is_rgba
+    is_diff = rest & in_diff
+    is_luma = rest & ~in_diff & in_luma
+    is_rgb = rest & ~in_diff & ~in_luma
+    own_len = jnp.where(
+        is_index, 1,
+        jnp.where(is_rgba, 5,
+                  jnp.where(is_diff, 1,
+                            jnp.where(is_luma, 2,
+                                      jnp.where(is_rgb, 4, 0)))),
+    ).astype(jnp.uint32)
+
+    r8 = unpack_channel(pk_c, 0)
+    g8 = unpack_channel(pk_c, 1)
+    b8 = unpack_channel(pk_c, 2)
+    diff_byte = (TAG_DIFF | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2)
+                 ).astype(jnp.uint32)
+    luma0 = (TAG_LUMA | (dg + 32)).astype(jnp.uint32)
+    luma1 = (((dr_dg + 8) << 4) | (db_dg + 8)).astype(jnp.uint32)
+    z = jnp.zeros((l, chunk_cap), jnp.uint32)
+    o0 = jnp.where(is_index, h.astype(jnp.uint32),
+                   jnp.where(is_rgba, jnp.uint32(TAG_RGBA),
+                             jnp.where(is_diff, diff_byte,
+                                       jnp.where(is_luma, luma0,
+                                                 jnp.where(is_rgb,
+                                                           jnp.uint32(TAG_RGB),
+                                                           z)))))
+    o1 = jnp.where(is_rgba | is_rgb, r8, jnp.where(is_luma, luma1, z))
+    o2 = jnp.where(is_rgba | is_rgb, g8, z)
+    o3 = jnp.where(is_rgba | is_rgb, b8, z)
+    o4 = jnp.where(is_rgba, a_cur, z)
+
+    run_byte = jnp.where(
+        nq_c, jnp.uint32(TAG_RUN) | ((gap - 1).astype(jnp.uint32) & 0x3F),
+        jnp.uint32(TAG_RUN | 61),
+    )
+    has_run = jnp.where(nq_c, gap > 0, run_row)
+    b0 = jnp.where(has_run, run_byte, o0)
+    b1 = jnp.where(has_run, o0, o1)
+    b2 = jnp.where(has_run, o1, o2)
+    b3 = jnp.where(has_run, o2, o3)
+    b4 = jnp.where(has_run, o3, o4)
+    b5 = jnp.where(has_run, o4, z)
+    nbytes_c = own_len + has_run.astype(jnp.uint32)
+
+    # tail rows: trailing-run byte + 8-byte end marker split 6 + (2|3)
+    ht = ((pk_c >> 8) & 1).astype(jnp.uint32)  # has_trail (tail rows)
+    tb = pk_c & 0xFF                           # trail byte (tail0 rows)
+    b0 = jnp.where(is_tail, jnp.where(t0, ht * tb, 0), b0)
+    b1 = jnp.where(is_tail, jnp.where(t1, 1 - ht, 0), b1)
+    b2 = jnp.where(is_tail, jnp.where(t1, ht, 0), b2)
+    b3 = jnp.where(is_tail, 0, b3)
+    b4 = jnp.where(is_tail, 0, b4)
+    b5 = jnp.where(is_tail, 0, b5)
+    nbytes_c = jnp.where(t0, 6, jnp.where(t1, 2 + ht, nbytes_c))
+
+    tlo_c = b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
+    thn_c = b4 | (b5 << 8) | (nbytes_c << 16)
+
+    # 1-byte sentinel row at counts keeps the last real row covered in the
+    # emit kernel (same protocol as _encode_kernel_impl)
+    upd = jax.vmap(
+        lambda p, v, c: jax.lax.dynamic_update_slice(p, v, (c,))
+    )
+    tlo_c = upd(tlo_c, jnp.zeros((l, 1), jnp.uint32), counts)
+    thn_c = upd(thn_c, jnp.full((l, 1), np.uint32(1 << 16)), counts)
+
+    nb_c = (thn_c >> 16).astype(jnp.int32)
+    nb_c = jnp.where(rows <= counts[:, None], nb_c, 0)
+    off = jnp.cumsum(nb_c, axis=1) - nb_c
+    total_len = jnp.sum(nb_c, axis=1) - 1  # sentinel byte excluded
+
+    # per-stream exclusive byte ends = (off + nbytes) at tail1 rows,
+    # extracted by a second (chunk-domain, 1-plane) compaction
+    (ends_u,), nseg = compact_rows(
+        ((off + nb_c).astype(jnp.uint32),), t1, cap=ends_cap
+    )
+    ends = ends_u.astype(jnp.int32)
+
+    base = emit_kernel.window_base_rows(off, out_cap)
+    words = emit_kernel.emit_bytes(off, tlo_c, thn_c, base, out_cap)
+    out = words.astype(jnp.uint8)
+    col = jnp.arange(out_cap, dtype=jnp.int32)[None, :]
+    out = jnp.where(col < total_len[:, None], out, 0)
+    ok = (counts + CBLK + 128 <= chunk_cap) & (total_len <= out_cap)
+    return out, ends, nseg, ok
+
+
+def encode_lanes_checked(packed, flags, *, chunk_cap: int | None = None,
+                         out_cap: int | None = None,
+                         ends_cap: int | None = None):
+    """Packed-lane encode -> (bodies (L, out_cap) u8, ends (L, ends_cap)
+    i32, nseg (L,) i32, ok (L,) bool).  See _encode_lanes_impl; callers
+    build `flags` at pack time (models/packed.PackedEncoder)."""
+    from .compact_kernel import BLK as CBLK
+    from . import emit_kernel
+
+    l, np_ = packed.shape
+    if chunk_cap is None:
+        chunk_cap = np_ + CBLK + 256
+    chunk_cap = _round_up(max(chunk_cap, CBLK + 256), 2048)
+    if out_cap is None:
+        out_cap = 5 * np_ + 32
+    out_cap = _round_up(out_cap, emit_kernel.WIN)
+    if ends_cap is None:
+        ends_cap = CBLK + 256
+    ends_cap = _round_up(max(ends_cap, CBLK + 256), 128)
+    return _encode_lanes_impl(packed, flags, chunk_cap, out_cap, ends_cap)
 
 
 def encode_batch(packed, n_px, header, channels: int, *,

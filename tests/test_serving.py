@@ -1,0 +1,74 @@
+"""Composite serving codec: one front-end over mixed corpora, routed to
+the packed / bucketed engines, 100% parity with the native oracle."""
+
+import numpy as np
+
+from qoipp_tpu import Channels, Desc, oracle
+from qoipp_tpu.models.serving import ServingCodec
+
+
+def make_corpus(seed=0, n=26):
+    """Tiny icons + mid tiles + streams big enough to out-size small pack
+    lanes, mixed channels, boundary-crafted openers."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for k in range(n):
+        if k % 4 == 0:  # tiny icons (packed path)
+            d = Desc(8 + k % 5, 6, Channels.RGBA)
+            raw = rng.integers(0, 256, d.width * d.height * 4, np.uint8)
+        elif k % 4 == 1:  # flat mid (packed, run-heavy)
+            d = Desc(64, 48, Channels.RGB)
+            raw = np.full(64 * 48 * 3, k, np.uint8)
+        elif k % 4 == 2:  # noisy mid/large (over-cap with small lanes)
+            d = Desc(96, 64, Channels.RGB)
+            raw = rng.integers(0, 256, 96 * 64 * 3, np.uint8)
+        else:  # shared-geometry photos (bucketed path groups these)
+            d = Desc(120, 80, Channels.RGBA)
+            pal = rng.integers(0, 256, (17, 4), np.uint8)
+            raw = pal[rng.integers(0, 17, 120 * 80)].reshape(-1)
+        out.append((raw, d))
+    return out
+
+
+def test_decode_mixed_routes_and_parity():
+    corpus = make_corpus()
+    blobs = [oracle.encode(r, d)[0] for r, d in corpus]
+    # small lanes force the noisy mid/large streams onto the bucketed path
+    codec = ServingCodec(pack_lane_bytes=8 << 10, min_len=1 << 12)
+    got = codec.decode(blobs)
+    assert len(got) == len(corpus)
+    for (raw, d), g in zip(corpus, got):
+        assert np.array_equal(g, raw), f"{d.width}x{d.height} decode mismatch"
+
+
+def test_encode_mixed_routes_and_parity():
+    corpus = make_corpus(seed=5)
+    # small pixel lanes force the 96x64/120x80 images onto the batch path
+    codec = ServingCodec(pack_lane_px=4096, min_len=1 << 12)
+    got = codec.encode([r for r, _ in corpus], [d for _, d in corpus])
+    for (raw, d), g in zip(corpus, got):
+        ref, complete = oracle.encode(raw, d)
+        assert complete
+        assert np.array_equal(g, ref), f"{d.width}x{d.height} encode mismatch"
+
+
+def test_roundtrip_one_frontend():
+    corpus = make_corpus(seed=9, n=13)
+    codec = ServingCodec(pack_lane_bytes=8 << 10, pack_lane_px=4096,
+                         min_len=1 << 12)
+    streams = codec.encode([r for r, _ in corpus], [d for _, d in corpus])
+    back = codec.decode(streams)
+    for (raw, d), g in zip(corpus, back):
+        assert np.array_equal(g, raw)
+
+
+def test_all_packed_when_lanes_fit():
+    corpus = make_corpus(seed=3, n=8)
+    codec = ServingCodec()  # default big lanes: everything packs
+    blobs = [oracle.encode(r, d)[0] for r, d in corpus]
+    got = codec.decode(blobs)
+    for (raw, _), g in zip(corpus, got):
+        assert np.array_equal(g, raw)
+    streams = codec.encode([r for r, _ in corpus], [d for _, d in corpus])
+    for (raw, d), s in zip(corpus, streams):
+        assert np.array_equal(s, oracle.encode(raw, d)[0])

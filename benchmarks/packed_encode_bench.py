@@ -73,52 +73,35 @@ def main():
         enc.encode(raws, descs)
     t_e2e = (time.perf_counter() - t0) / args.runs
 
-    # device-only: stage the packed lanes once, time the jit
-    import qoipp_tpu.models.packed as pm
-    from qoipp_tpu.ops import emit_kernel
-
-    plan_items = [(d.width * d.height + 2, d.width * d.height) for d in descs]
-    lanes = pm.plan_lanes(plan_items, enc.lane_px)
-    while len(lanes) % 8 or len(lanes) < 8:
-        lanes.append([])
-    L, np_ = len(lanes), enc.lane_px
-    packed = np.zeros((L, np_), np.uint32)
-    flags = np.zeros((L, np_), np.uint8)
-    worst = np.zeros(L, np.int64)
-    max_members = 1
-    for Li, members in enumerate(lanes):
-        off = 0
-        for i in members:
-            d = descs[i]
-            npx = d.width * d.height
-            ch = int(d.channels)
-            packed[Li, off:off + npx] = pm._pack_pixels_np(raws[i], ch)
-            flags[Li, off] |= enc_ops.FLAG_SEG_START
-            flags[Li, off:off + npx] |= enc_ops.FLAG_VALID
-            flags[Li, off + npx] = enc_ops.FLAG_TAIL0
-            flags[Li, off + npx + 1] = enc_ops.FLAG_TAIL1
-            off += npx + 2
-            worst[Li] += (ch + 1) * npx + 9
-        max_members = max(max_members, len(members))
-    out_cap = -(-int(worst.max()) // emit_kernel.WIN) * emit_kernel.WIN
-    ends_cap = -(-(max_members + 2048 + 128) // 128) * 128
+    # device-only: stage the packed lanes once, time the jit (same caps
+    # the encode() call settled on — fractional, or safe after a retry)
+    packed, flags, _, caps = enc.plan_and_pack(raws, descs)
+    L, np_ = packed.shape
     packed_d = jnp.asarray(packed)
     flags_d = jnp.asarray(flags)
 
-    def run():
+    def run(chunk_cap, out_cap):
         return enc_ops._encode_lanes_impl(
-            packed_d, flags_d, enc.chunk_cap, out_cap, ends_cap
+            packed_d, flags_d, chunk_cap, out_cap, caps["ends_cap"]
         )
 
-    jax.block_until_ready(run())
+    r = run(caps["chunk_cap"], caps["out_cap"])
+    jax.block_until_ready(r)
+    caps_used = (caps["chunk_cap"], caps["out_cap"])
+    if not bool(r[3].all()):
+        caps_used = (caps["safe_chunk"], caps["safe_out"])
+        jax.block_until_ready(run(*caps_used))
+        print("(fractional caps tripped; timing the safe-cap program)",
+              file=sys.stderr)
     t0 = time.perf_counter()
     for _ in range(args.runs):
-        out = run()
+        out = run(*caps_used)
     jax.block_until_ready(out)
     t_dev = (time.perf_counter() - t0) / args.runs
 
     print(f"packed encode: device {total_px/t_dev/1e6:.1f} MPix/s "
-          f"({t_dev*1e3:.0f} ms, {L} lanes x {np_>>10} Kpx), "
+          f"({t_dev*1e3:.0f} ms, {L} lanes x {np_>>10} Kpx, "
+          f"chunk_cap {caps_used[0]>>10}K out_cap {caps_used[1]>>10}K), "
           f"end-to-end {total_px/t_e2e/1e6:.1f} MPix/s, parity "
           f"{'100%' if ok else 'FAILED'}")
     return 0 if ok else 1

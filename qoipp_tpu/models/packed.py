@@ -185,6 +185,42 @@ def _pack_pixels_np(raw: np.ndarray, channels: int) -> np.ndarray:
     return word | np.uint32(0xFF000000)
 
 
+def _bucket_mult(n: int, m: int) -> int:
+    """Round n up to a coarse compile-size bucket that is a multiple of m
+    (powers of two with 1.25x intermediate steps) — limits retraces while
+    keeping padding waste under ~25%."""
+    n = max(n, m)
+    b = m
+    while b < n:
+        b *= 2
+    for frac in (5 * b // 8, 3 * b // 4, 7 * b // 8):
+        if frac >= n and frac % m == 0:
+            return frac
+    return b
+
+
+def plan_lanes_balanced(slots: Sequence[int], n_lanes: int, lane_cap: int
+                        ) -> List[List[int]]:
+    """LPT (longest-processing-time) assignment of streams to n_lanes
+    lanes of lane_cap pixel slots: sort descending, place each on the
+    least-loaded lane with room.  Balanced loads matter more than packing
+    density here — every lane pays the WORST lane's static chunk/byte
+    caps (the compile shapes), so an even spread minimizes total work."""
+    order = sorted(range(len(slots)), key=lambda i: -slots[i])
+    lanes: List[List[int]] = [[] for _ in range(n_lanes)]
+    loads = [0] * n_lanes
+    for i in order:
+        cands = sorted(range(n_lanes), key=lambda L: loads[L])
+        for L in cands:
+            if loads[L] + slots[i] <= lane_cap:
+                lanes[L].append(i)
+                loads[L] += slots[i]
+                break
+        else:
+            raise ValueError("lane_cap too small for the stream set")
+    return lanes
+
+
 class PackedEncoder:
     """Encode arbitrary mixed raw images through packed pixel lanes.
 
@@ -195,25 +231,41 @@ class PackedEncoder:
     analog of PackedDecoder.  Bit-exact with the reference encoder
     (source/simple.cpp:36-95) for every member stream.
 
-    lane_px: pixel-slot capacity per lane (the shape the jit caches on).
+    Lane shapes are adaptive: streams spread over `lanes` lanes balanced
+    by pixel count (LPT), and the lane size is the smallest compile-size
+    bucket that fits — every lane pays the worst lane's STATIC caps, so
+    few large balanced lanes beat many thin ones.  The chunk/byte caps
+    start at density-informed fractions of worst case and the whole call
+    retries once at the safe caps if any lane's checked flag trips
+    (ops/encode.encode_lanes_checked): typical content never retries and
+    avoids sweeping dead capacity.
+
+    lane_px: pixel-slot capacity cap per stream AND minimum lane size
+        (streams with more pixels must route to the batched pipeline —
+        models/serving.py does this).
+    lanes: lane count (8 fills the VPU sublanes exactly).
+    chunk_frac / out_frac: initial caps as fractions of the safe bounds.
     """
 
-    def __init__(self, lane_px: int = 1 << 20):
+    def __init__(self, lane_px: int = 1 << 20, lanes: int = 8,
+                 chunk_frac: float = 0.45, out_frac: float = 0.3):
         self.lane_px = _round_up(lane_px, 2048)
-        from ..ops.compact_kernel import BLK as CBLK
-        self.chunk_cap = _round_up(
-            self.lane_px + self.lane_px // 62 + CBLK + 256, 2048
-        )
+        self.lanes = lanes
+        self.chunk_frac = chunk_frac
+        self.out_frac = out_frac
 
-    def encode(self, raws: Sequence[np.ndarray],
-               descs: Sequence[Desc]) -> List[np.ndarray]:
-        """Raw pixel buffers + Descs -> list of complete QOI streams
-        (header + body), submission order."""
+    def plan_and_pack(self, raws: Sequence[np.ndarray],
+                      descs: Sequence[Desc]):
+        """Host staging: plan balanced lanes and build the dense device
+        inputs.  Returns (packed (L, Np) u32, flags (L, Np) u8, where
+        [(lane, order)], caps dict) — encode() is this + one (retriable)
+        device call + host slicing."""
         from ..ops import emit_kernel
+        from ..ops.compact_kernel import BLK as CBLK
 
         if len(raws) != len(descs):
             raise ValueError("raws and descs length mismatch")
-        items = []
+        slots = []
         for raw, d in zip(raws, descs):
             npx = d.width * d.height
             ch = int(d.channels)
@@ -227,13 +279,20 @@ class PackedEncoder:
                     f"{self.lane_px - 2}; raise lane_px or route the "
                     "stream to the batched pipeline"
                 )
-            items.append((npx + 2, npx))
-        lanes = plan_lanes(items, self.lane_px)
-        while len(lanes) % 8 or len(lanes) < 8:
-            lanes.append([])
+            slots.append(npx + 2)
+
+        total = sum(slots)
+        np_ = _bucket_mult(
+            max(-(-total // self.lanes), max(slots, default=1)), 2048
+        )
+        while True:
+            try:
+                lanes = plan_lanes_balanced(slots, self.lanes, np_)
+                break
+            except ValueError:
+                np_ = _bucket_mult(np_ + 1, 2048)
 
         L = len(lanes)
-        np_ = self.lane_px
         packed = np.zeros((L, np_), np.uint32)
         flags = np.zeros((L, np_), np.uint8)
         # (stream idx) -> (lane, order within lane)
@@ -258,28 +317,53 @@ class PackedEncoder:
                 worst[Li] += (ch + 1) * npx + 9
             max_members = max(max_members, len(members))
 
-        # compile-size buckets for the byte-domain output sweep
-        out_cap = _round_up(max(int(worst.max()), 1), emit_kernel.WIN)
-        b = emit_kernel.WIN
-        while b < out_cap:
-            b *= 2
-        for frac in (5 * b // 8, 3 * b // 4, 7 * b // 8):
-            if frac >= out_cap and frac % emit_kernel.WIN == 0:
-                b = frac
-                break
-        out_cap = b
-        ends_cap = _round_up(max_members + 2048 + 128, 128)
+        safe_chunk = _round_up(np_ + np_ // 62 + CBLK + 256, 2048)
+        safe_out = _bucket_mult(max(int(worst.max()), 1), emit_kernel.WIN)
+        caps = dict(
+            chunk_cap=min(
+                _bucket_mult(int(self.chunk_frac * np_) + CBLK + 256, 2048),
+                safe_chunk,
+            ),
+            out_cap=min(
+                _bucket_mult(int(self.out_frac * safe_out) + 1,
+                             emit_kernel.WIN),
+                safe_out,
+            ),
+            ends_cap=_round_up(max_members + 2048 + 128, 128),
+            safe_chunk=safe_chunk,
+            safe_out=safe_out,
+        )
+        return packed, flags, where, caps
 
+    def encode(self, raws: Sequence[np.ndarray],
+               descs: Sequence[Desc]) -> List[np.ndarray]:
+        """Raw pixel buffers + Descs -> list of complete QOI streams
+        (header + body), submission order."""
+        packed, flags, where, caps = self.plan_and_pack(raws, descs)
+        chunk_cap = caps["chunk_cap"]
+        out_cap = caps["out_cap"]
+        ends_cap = caps["ends_cap"]
+        safe_chunk = caps["safe_chunk"]
+        safe_out = caps["safe_out"]
+
+        packed_d = jnp.asarray(packed)
+        flags_d = jnp.asarray(flags)
         out, ends, nseg, ok = enc_ops.encode_lanes_checked(
-            jnp.asarray(packed), jnp.asarray(flags),
-            chunk_cap=self.chunk_cap, out_cap=out_cap, ends_cap=ends_cap,
+            packed_d, flags_d,
+            chunk_cap=chunk_cap, out_cap=out_cap, ends_cap=ends_cap,
         )
         if not bool(jnp.all(ok)):
-            raise ValueError(
-                "packed encode overflowed a lane cap (chunk_cap/out_cap); "
-                "file a bug — caps are sized from worst_size and cannot "
-                "overflow for valid inputs"
+            # dense content tripped the fractional caps: one retry at the
+            # safe bounds (guaranteed to fit any valid input)
+            out, ends, nseg, ok = enc_ops.encode_lanes_checked(
+                packed_d, flags_d,
+                chunk_cap=safe_chunk, out_cap=safe_out, ends_cap=ends_cap,
             )
+            if not bool(jnp.all(ok)):
+                raise AssertionError(
+                    "packed encode overflowed the safe caps — caps are "
+                    "sized from worst_size and cannot overflow; file a bug"
+                )
         out = np.asarray(out)
         ends = np.asarray(ends)
 

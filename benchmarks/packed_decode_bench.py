@@ -32,7 +32,7 @@ def main():
     import jax.numpy as jnp
 
     from qoipp_tpu import oracle
-    from qoipp_tpu.models.packed import PackedDecoder, plan_lanes
+    from qoipp_tpu.models.packed import PackedDecoder
     from qoipp_tpu.models import packed as packed_mod
     from qoipp_tpu.utils.timing import enable_compile_cache
     import local_corpus
@@ -81,30 +81,10 @@ def main():
         dec.decode(blobs)
     t_e2e = (time.perf_counter() - t0) / args.runs
 
-    # device-only: stage the packed lanes once, time the jit
-    arrs = blobs
-    hdrs = descs
-    its = [(a.size - 22, d.width * d.height) for a, d in zip(arrs, hdrs)]
-    lanes = plan_lanes(its, dec.lane_bytes)
-    while len(lanes) % 16 or len(lanes) < 16:
-        lanes.append([])
-    qb = dec.lane_bytes
-    L = len(lanes)
-    regions = np.zeros((L, qb + 8), np.uint8)
-    flags = np.zeros((L, qb + 8), np.uint8)
-    sizes = np.zeros(L, np.int32)
-    lane_px = np.zeros(L, np.int64)
-    for Li, members in enumerate(lanes):
-        boff = poff = 0
-        for i in members:
-            sz, npx = its[i]
-            regions[Li, boff : boff + sz] = arrs[i][14 : 14 + sz]
-            flags[Li, boff] = 1
-            boff += sz
-            poff += npx
-        sizes[Li] = boff
-        lane_px[Li] = poff
-    n_cap = -(-int(lane_px.max()) // 8192) * 8192
+    # device-only: stage the packed lanes once, time the jit (the same
+    # balanced plan decode() settled on)
+    regions, flags, sizes, _, _, qb, n_cap = dec.plan_and_pack(blobs)
+    L = regions.shape[0]
     regions_d = jnp.asarray(regions)
     flags_d = jnp.asarray(flags)
     sizes_d = jnp.asarray(sizes)

@@ -3,8 +3,20 @@
 dropped): one front-end call, engines routed by size.
 
 This is the serving-shaped workload of the north star: decode a mixed
-directory of real images (tiny icons .. multi-MB photos) at >= 1 GPix/s
-with 100% parity, through qoipp_tpu.models.serving.ServingCodec.
+directory of real images (tiny icons .. multi-MB photos) through
+qoipp_tpu.models.serving.ServingCodec at >= 1 GPix/s with 100% parity.
+
+Three timings per direction, matching how a serving deployment pays:
+
+  * serve (HBM-resident): plan + stage + dispatch + device completion —
+    the north-star metric (BASELINE.json: "batched many-image 4K decode
+    -> HBM-resident tensors").  Completion is observed with a tiny
+    dependent fetch, RTT-subtracted (block_until_ready does not
+    synchronize through the axon tunnel).
+  * fetch+unpack: bulk device->host fetch + host slicing (the axon
+    tunnel's D2H path runs ~14 MB/s, see BASELINE.md transport notes —
+    co-located hosts pay PCIe rates instead).
+  * end-to-end: the plain decode()/encode() call.
 
 Usage: python benchmarks/serving_bench.py [--replicate N]
 """
@@ -19,6 +31,17 @@ import numpy as np
 ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 sys.path.insert(0, str(ROOT / "tests"))
+
+
+def _sync_decode_plan(plan):
+    """Tiny dependent fetch on every device output of a decode plan."""
+    _, packed_part, bucket_parts = plan
+    if packed_part is not None:
+        _, (dev, _, _) = packed_part
+        np.asarray(dev[0, 0])
+    for _, _, sub in bucket_parts:
+        for _, dev in sub:
+            np.asarray(dev[0, 0])
 
 
 def main():
@@ -54,15 +77,37 @@ def main():
     print(f"oracle decode: {total_px/t_or/1e6:.1f} MPix/s", file=sys.stderr)
 
     codec = ServingCodec(pack_lane_bytes=args.lane_kb << 10)
-    got = codec.decode(blobs)  # cold: compiles + parity material
+    plan = codec.decode_dispatch(blobs)  # cold: compiles
+    _sync_decode_plan(plan)
+    got = codec.decode_finish(plan)
     ok_dec = all(np.array_equal(g, r) for g, r in zip(got, raws))
     print(f"serving decode parity: {'100%' if ok_dec else 'FAILED'}",
           file=sys.stderr)
+
+    # serve (HBM-resident): dispatch + device completion; RTT subtracted
+    t0 = time.perf_counter()
+    _sync_decode_plan(codec.decode_dispatch(blobs[:1]))
+    rtt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(args.runs):
+        plan = codec.decode_dispatch(blobs)
+        _sync_decode_plan(plan)
+    t_serve = max((time.perf_counter() - t0) / args.runs - rtt, 1e-9)
+    print(f"serving decode (HBM-resident): {total_px/t_serve/1e6:.1f} "
+          f"MPix/s ({t_serve*1e3:.0f} ms)")
+
+    t0 = time.perf_counter()
+    codec.decode_finish(plan)
+    t_fetch = time.perf_counter() - t0
+    print(f"  fetch+unpack: {t_fetch*1e3:.0f} ms "
+          f"({total_px/t_fetch/1e6:.1f} MPix/s; D2H-bound through the "
+          f"tunnel)", file=sys.stderr)
+
     t0 = time.perf_counter()
     for _ in range(args.runs):
         codec.decode(blobs)
     t_dec = (time.perf_counter() - t0) / args.runs
-    print(f"serving decode: {total_px/t_dec/1e6:.1f} MPix/s end-to-end "
+    print(f"serving decode end-to-end: {total_px/t_dec/1e6:.1f} MPix/s "
           f"({t_dec*1e3:.0f} ms)")
 
     if args.no_encode:
@@ -81,7 +126,7 @@ def main():
     for _ in range(args.runs):
         codec.encode(raws, descs)
     t_enc = (time.perf_counter() - t0) / args.runs
-    print(f"serving encode: {total_px/t_enc/1e6:.1f} MPix/s end-to-end "
+    print(f"serving encode end-to-end: {total_px/t_enc/1e6:.1f} MPix/s "
           f"({t_enc*1e3:.0f} ms)")
     return 0 if (ok_dec and ok_enc) else 1
 

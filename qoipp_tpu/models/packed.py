@@ -40,7 +40,6 @@ from ..ops import decode as dec_ops
 from ..ops import encode as enc_ops
 from ..ops import place_kernel
 from ..ops import replay_kernel as rk
-from ..ops.bitops import packed_to_pixels
 
 
 def _round_up(n: int, m: int) -> int:
@@ -88,9 +87,21 @@ def _decode_lanes(regions, flags, chunks_sizes, qb: int, n_cap: int):
 class PackedDecoder:
     """Decode arbitrary mixed QOI streams through packed replay lanes.
 
-    lane_bytes: chunk-byte capacity per lane (the shape the jit caches
-    on; all lanes of a call share one program).
+    Lane shapes are adaptive (round-3 redesign, mirroring PackedEncoder):
+    streams spread over up to 128 lanes balanced by body bytes (LPT), and
+    the lane depth qb is the smallest compile-size bucket that fits.  The
+    replay kernel's step cost is lane-count independent up to 128 lanes
+    (images ride VPU lanes; the (64, L) table plane pads to 128 lanes
+    anyway), so MANY short balanced lanes minimize the sequential depth:
+    replay steps = max lane bytes ~= total/L instead of the old fixed
+    lane capacity.
+
+    lane_bytes: per-STREAM body-byte capacity (larger streams must route
+    to the batched pipeline — models/serving.py does this) and minimum
+    lane depth granularity source.
     """
+
+    MAX_LANES = 128  # replay table plane (64, L) pads lanes to 128
 
     def __init__(self, lane_bytes: int = 1 << 20):
         self.lane_bytes = _round_up(lane_bytes, boundary.BLOCK)
@@ -98,6 +109,39 @@ class PackedDecoder:
     def decode(self, blobs: Sequence) -> List[np.ndarray]:
         """QOI byte streams (ANY geometries/channels) -> list of raw pixel
         buffers (each stream's native channels), submission order."""
+        packed, where, descs = self.decode_to_device(blobs)
+        packed = np.asarray(packed)  # ONE bulk fetch
+        return [
+            _unpack_pixels_np(
+                packed[Li, poff : poff + d.width * d.height],
+                int(d.channels),
+            )
+            for (Li, poff), d in zip(where, descs)
+        ]
+
+    def decode_to_device(self, blobs: Sequence):
+        """Stage + dispatch only: returns ((L, n_cap) u32 device pixels,
+        where [(lane, px_offset)], descs).  Results stay HBM-resident —
+        the serving-loop form (the north star measures decode into
+        HBM-resident tensors; fetching through the transport is the
+        caller's amortizable cost, see BASELINE.md transport notes)."""
+        regions, flags, chunks_sizes, where, descs, qb, n_cap = (
+            self.plan_and_pack(blobs)
+        )
+        packed = _decode_lanes(
+            jnp.asarray(regions),
+            jnp.asarray(flags),
+            jnp.asarray(chunks_sizes),
+            qb=qb,
+            n_cap=n_cap,
+        )
+        return packed, where, descs
+
+    def plan_and_pack(self, blobs: Sequence):
+        """Host staging: plan balanced lanes and build the dense device
+        inputs.  Returns (regions (L, qb+8) u8, flags (L, qb+8) u8,
+        chunks_sizes (L,) i32, where [(lane, px_offset)], descs, qb,
+        n_cap)."""
         arrs = [
             np.frombuffer(bytes(x), np.uint8)
             if not isinstance(x, np.ndarray) else x
@@ -119,14 +163,22 @@ class PackedDecoder:
                     f"{self.lane_bytes}; raise lane_bytes or route the "
                     "stream to the batched pipeline"
                 )
-        lanes = plan_lanes(items, self.lane_bytes)
-        # pad the lane count to a sublane multiple: XLA picks a transposed
-        # (18x-padded) layout for (7, several-M) u32 temps otherwise
-        while len(lanes) % 16 or len(lanes) < 16:
-            lanes.append([])
+        # balanced LPT spread over as many lanes as streams allow (the
+        # lane count stays a multiple of 16: XLA picks a transposed
+        # 18x-padded layout for (7, several-M) u32 temps otherwise)
+        slots = [sz for sz, _ in items]
+        L = min(self.MAX_LANES, max(_round_up(len(items), 16), 16))
+        gran = 8 * boundary.BLOCK  # lcm(BLOCK=128, kernel slab 512) x2
+        qb = _bucket_mult(
+            max(-(-sum(slots) // L), max(slots, default=1), gran), gran
+        )
+        while True:
+            try:
+                lanes = plan_lanes_balanced(slots, L, qb)
+                break
+            except ValueError:
+                qb = _bucket_mult(qb + 1, gran)
 
-        L = len(lanes)
-        qb = self.lane_bytes
         regions = np.zeros((L, qb + 8), np.uint8)
         flags = np.zeros((L, qb + 8), np.uint8)
         chunks_sizes = np.zeros(L, np.int32)
@@ -146,29 +198,8 @@ class PackedDecoder:
             chunks_sizes[Li] = boff
             lane_px[Li] = poff
 
-        n_cap = _round_up(max(int(lane_px.max()), 1), place_kernel.WIN)
-        packed = _decode_lanes(
-            jnp.asarray(regions),
-            jnp.asarray(flags),
-            jnp.asarray(chunks_sizes),
-            qb=qb,
-            n_cap=n_cap,
-        )
-        packed = np.asarray(packed)
-
-        out: List[np.ndarray] = []
-        for i, (a, d) in enumerate(zip(arrs, descs)):
-            Li, poff = where[i]
-            npx = d.width * d.height
-            out.append(
-                np.asarray(
-                    packed_to_pixels(
-                        jnp.asarray(packed[Li, poff : poff + npx]),
-                        int(d.channels),
-                    )
-                )
-            )
-        return out
+        n_cap = _bucket_mult(max(int(lane_px.max()), 1), place_kernel.WIN)
+        return regions, flags, chunks_sizes, where, descs, qb, n_cap
 
 
 # ---------------------------------------------------------------------------
@@ -183,6 +214,20 @@ def _pack_pixels_np(raw: np.ndarray, channels: int) -> np.ndarray:
     if channels == 4:
         return word | (px[:, 3] << 24)
     return word | np.uint32(0xFF000000)
+
+
+def _unpack_pixels_np(packed: np.ndarray, channels: int) -> np.ndarray:
+    """Host-side (N,) u32 -> (N*ch,) u8 — numpy analog of
+    bitops.packed_to_pixels.  Slicing per-stream results out of a bulk
+    device fetch MUST happen on host: a device call per stream costs a
+    full tunnel round trip (~2x30 ms), which dwarfs the unpack."""
+    out = np.empty((packed.size, channels), np.uint8)
+    out[:, 0] = packed & 0xFF
+    out[:, 1] = (packed >> 8) & 0xFF
+    out[:, 2] = (packed >> 16) & 0xFF
+    if channels == 4:
+        out[:, 3] = packed >> 24
+    return out.reshape(-1)
 
 
 def _bucket_mult(n: int, m: int) -> int:
@@ -364,8 +409,17 @@ class PackedEncoder:
                     "packed encode overflowed the safe caps — caps are "
                     "sized from worst_size and cannot overflow; file a bug"
                 )
-        out = np.asarray(out)
+        # fetch ends first (tiny), then only the real byte span of each
+        # lane — the device->host path is the slow direction (~14 MB/s
+        # through the tunnel), so dead out_cap capacity must not ride it
         ends = np.asarray(ends)
+        nseg_h = np.asarray(nseg)
+        used = max(
+            (int(ends[Li, nseg_h[Li] - 1]) for Li in range(ends.shape[0])
+             if nseg_h[Li] > 0),
+            default=1,
+        )
+        out = np.asarray(out[:, : _round_up(max(used, 1), 128)])
 
         results: List[np.ndarray] = []
         for i, d in enumerate(descs):

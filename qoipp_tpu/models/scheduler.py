@@ -180,9 +180,12 @@ class BucketedCodec:
                 if pad:
                     packed = jnp.pad(packed, ((0, 0), (0, pad)))
                 streams, lengths, ok = pipe.encode_packed_checked(packed)
-                streams = np.asarray(streams)
+                # fetch lengths first (tiny), then only the real byte
+                # span — D2H is the slow direction through the tunnel
                 lengths = np.asarray(lengths)
                 okh = np.asarray(ok)
+                used = int(lengths[: len(idxs)].max(initial=1))
+                streams = np.asarray(streams[:, : -(-used // 128) * 128])
                 for j, i in enumerate(idxs):
                     if okh[j]:
                         out[i] = streams[j, : lengths[j]].copy()

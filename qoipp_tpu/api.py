@@ -362,13 +362,30 @@ def decode_into(
     src_desc = header.value()
 
     if callable(dest):
-        # Pixel sink: emit every decoded RGBA pixel in order.
+        # Pixel sink: emit every decoded RGBA pixel in order (reference:
+        # FuncPixelWriter, source/util.hpp:281-296 — the per-pixel
+        # virtual call).  Vectorized fast path: a sink that sets
+        # ``dest.vectorized = True`` receives (N, 4) uint8 blocks (alpha
+        # 0xFF for RGB sources) instead of one Pixel per call — opt-in
+        # ONLY, because probing a sink by calling it would deliver
+        # pixels as a side effect (unlike the generator probe).
         decoded = decode(arr, None, False, backend=backend)
         if not decoded:
             return Result.err(decoded.error())
         img = decoded.value()
         ch = int(img.desc.channels)
         px = img.data.reshape(-1, ch)
+        if getattr(dest, "vectorized", False) is True:
+            if ch == 3:
+                rgba = np.empty((px.shape[0], 4), np.uint8)
+                rgba[:, :3] = px
+                rgba[:, 3] = 0xFF
+            else:
+                rgba = px
+            blk = 1 << 20
+            for s in range(0, rgba.shape[0], blk):
+                dest(rgba[s : s + blk])
+            return Result.ok(src_desc)
         for i in range(px.shape[0]):
             if ch == 4:
                 dest(Pixel(int(px[i, 0]), int(px[i, 1]), int(px[i, 2]), int(px[i, 3])))

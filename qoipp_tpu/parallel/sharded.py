@@ -87,7 +87,7 @@ def make_dp_encode(pipeline, mesh: Mesh, axis: str = "data"):
 
 
 def make_sp_decode(mesh: Mesh, qb: int, tiles_per_device: int,
-                   axis: str = "seq"):
+                   axis: str = "seq", with_rounds: bool = False):
     """Build a sequence-parallel byte-domain chunk replay: the dense chunk
     field arrays of length qb (from ops.decode.classify_dense) are sharded
     over `axis`; returns per-byte-position emitted pixel values (sharded the
@@ -98,7 +98,22 @@ def make_sp_decode(mesh: Mesh, qb: int, tiles_per_device: int,
     (exchanged via lax.ppermute over ICI).  Convergence crosses one device
     per round worst-case, all tiles per round within a device.
 
+    Worst-case bound (proved by induction, pinned by
+    tests/test_parallel.py::test_sp_decode_adversarial_rounds): after
+    round r the first r tiles' entering states are exact — tile 0 starts
+    exact (START pixel + seeded table, reference stream.cpp:306), and
+    each round propagates the true carry at least one tile further even
+    when EVERY chunk is an INDEX hit on an unresolved slot.  Hence
+    n_tiles + 1 rounds always suffice and the loop cap n_tiles + 2 never
+    truncates: the output is exact for adversarial streams too, they
+    just pay O(n_tiles) rounds instead of the typical O(1).  (A
+    closed-form carry like SP encode's is impossible here: the decoder's
+    table entries are functions of decoded pixels, which in turn read
+    the table — the INDEX data dependence is inherently sequential.)
+
     qb must divide evenly: qb = n_devices * tiles_per_device * t_len.
+    with_rounds: additionally return a (qb,)-sharded int32 array holding
+    the fixpoint round count (replicated per position) for bound tests.
     """
     n_dev = mesh.shape[axis]
     assert qb % (n_dev * tiles_per_device) == 0
@@ -152,17 +167,21 @@ def make_sp_decode(mesh: Mesh, qb: int, tiles_per_device: int,
             is_first[:, None], seen0[None, :], jnp.zeros((s_local, 64), jnp.uint32)
         )
 
-        fin_p, fin_s, _, _ = jax.lax.while_loop(
+        fin_p, fin_s, _, it = jax.lax.while_loop(
             cond, round_fn, (init_p, init_s, jnp.array(False), jnp.int32(0))
         )
         _, _, _, _, (emits, prevs) = local_replay(fin_p, fin_s, xs)
-        return emits.T.reshape(-1), prevs.T.reshape(-1)
+        emits_f = emits.T.reshape(-1)
+        if with_rounds:
+            rounds = jnp.full_like(emits_f, it).astype(jnp.int32)
+            return emits_f, prevs.T.reshape(-1), rounds
+        return emits_f, prevs.T.reshape(-1)
 
     sharded = shard_map(
         sp_body,
         mesh=mesh,
         in_specs=(spec, spec, spec, spec),
-        out_specs=(spec, spec),
+        out_specs=(spec, spec, spec) if with_rounds else (spec, spec),
         check_vma=False,
     )
     return jax.jit(sharded)

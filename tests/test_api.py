@@ -152,6 +152,27 @@ def test_decode_into_pixel_sink(qoi4, raw4):
     assert np.array_equal(px, raw4)
 
 
+def test_decode_into_pixel_sink_vectorized(qoi4, raw4, qoi3, raw3):
+    # opt-in block sink: receives (N, 4) uint8 arrays, alpha forced 0xFF
+    # for RGB sources (api.decode_into; ref sink: source/util.hpp:281-296)
+    blocks = []
+
+    def sink(a):
+        blocks.append(np.array(a))
+
+    sink.vectorized = True
+    desc = q.decode_into(sink, qoi4).value()
+    assert desc.width == 24
+    px = np.concatenate(blocks).reshape(-1)
+    assert np.array_equal(px, raw4)
+
+    blocks.clear()
+    q.decode_into(sink, qoi3)
+    px = np.concatenate(blocks)
+    assert np.array_equal(px[:, :3].reshape(-1), raw3)
+    assert (px[:, 3] == 0xFF).all()
+
+
 def test_decode_into_file(tmp_path, qoi3, raw3):
     p = tmp_path / "img.qoi"
     p.write_bytes(qoi3.tobytes())

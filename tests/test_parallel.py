@@ -135,6 +135,72 @@ def test_sp_sharded_decode():
     assert np.array_equal(got, raw)
 
 
+def test_sp_decode_adversarial_rounds():
+    # INDEX-heavy adversarial stream: after a 64-color prologue, EVERY
+    # chunk is an OP_INDEX whose slot a speculative (zero-table) tile
+    # cannot resolve, so the fixpoint degenerates to carry-at-a-time —
+    # the documented O(n_tiles) worst case (make_sp_decode docstring).
+    # Pins: (a) output stays bit-exact, (b) the round count respects the
+    # n_tiles + 2 loop cap (the bound that guarantees exactness).
+    m = mesh_mod.make_mesh((1, 8))
+    tiles_per_device = 4
+    n_tiles = 8 * tiles_per_device
+
+    rng = np.random.default_rng(11)
+    # 64 colors with distinct hash slots -> one palette entry per slot
+    colors, seen_slots = [], set()
+    while len(colors) < 64:
+        c = rng.integers(0, 256, 3)
+        h = (3 * c[0] + 5 * c[1] + 7 * c[2] + 11 * 255) % 64
+        if h not in seen_slots:
+            seen_slots.add(h)
+            colors.append(c)
+    palette = np.array(colors, np.uint8)
+    # avoid runs: consecutive pixels always differ
+    idx = np.empty(4096, np.int64)
+    idx[0] = 0
+    step = rng.integers(1, 64, idx.size - 1)
+    idx[1:] = np.cumsum(step) % 64
+    dup = idx[1:] == idx[:-1]
+    idx[1:][dup] = (idx[1:][dup] + 1) % 64
+    raw = palette[idx].reshape(-1)
+    desc = Desc(idx.size, 1, Channels.RGB)
+    enc, _ = oracle.encode(raw, desc)
+    # adversarialness: the body after the prologue is essentially all
+    # 1-byte INDEX chunks
+    body = enc[14:-8]
+    assert (body < 0x40).mean() > 0.9
+
+    n_px = desc.width * desc.height
+    qb = dec_ops._bucket(enc.size - 14, boundary.BLOCK)
+    while qb % n_tiles != 0:
+        qb += boundary.BLOCK
+    region = np.zeros(qb + 8, np.uint8)
+    region[: enc.size - 14] = enc[14:]
+    region_j = jnp.asarray(region)
+    info = boundary.analyze_region(
+        region_j[:qb], jnp.int32(enc.size - 22), jnp.int32(n_px)
+    )
+    cls, val, nmask, arg = jax.jit(
+        dec_ops.classify_dense, static_argnames=("qb",)
+    )(region_j, qb, info["real"])
+    sp = sharded.make_sp_decode(m, qb, tiles_per_device, with_rounds=True)
+    emits, prevs, rounds = sp(cls, val, nmask, arg)
+
+    n_cap = dec_ops._bucket(n_px, 128)
+    packed = dec_ops.expand_pixels(
+        emits, prevs, info["real"], info["produced"], info["pix_before"],
+        n_cap,
+    )
+    from qoipp_tpu.ops.bitops import packed_to_pixels
+
+    got = np.asarray(packed_to_pixels(packed[:n_px], 3))
+    assert np.array_equal(got, raw)  # exact even at worst-case rounds
+    r = int(np.asarray(rounds).max())
+    assert r <= n_tiles + 2  # the cap that guarantees exactness
+    assert r >= 4  # genuinely adversarial: far from the typical O(1)
+
+
 def test_sp_sharded_encode():
     # One image's pixels sharded over the seq axis; closed-form carry
     # exchange (prev via ppermute, run/table via all_gathered summaries);

@@ -13,7 +13,9 @@ pixels).  This kernel removes that irregularity with dense hardware:
 Per block of K rows the kept rows land in a K+128-wide aligned window
 [r0 - r0%128, ...); placing them is a (K x 128)-shaped one-hot matmul per
 128-row output stripe — exactly the MXU's shape.  Values are split into
-16-bit halves so every f32 product/sum is an exact integer < 2^24.  A
+8-bit quarters so the dot runs at DEFAULT precision (ONE bf16 MXU pass
+instead of HIGHEST's six, round-3 change): bytes are bf16-exact and every
+output element receives exactly one kept row's contribution.  A
 "pending row" scratch carries the partially-filled last 128-lane row
 between consecutive blocks (the Pallas grid is sequential per core), and
 each block DMAs its aligned window straight to HBM at an element-granular
@@ -40,7 +42,7 @@ BLK = 2048  # rows per grid step (K); must be a multiple of 128
 
 def _compact_kernel(nplanes: int, sout: int, gidx_ref, keep_ref, *rest):
     """rest = plane_refs(nplanes) + out_ref (ANY, merged planes) + scratch:
-    pend (8, 128) f32 x (2*nplanes rows used), obuf (2, nplanes, sout,
+    pend (4*nplanes, 128) f32, obuf (2, nplanes, sout,
     128) u32 double-buffered, sem (2,) DMA semaphores, prev (3,) SMEM
     [prev_b, prev_row0, has_prev] for the deferred-wait protocol."""
     plane_refs = rest[:nplanes]
@@ -80,18 +82,17 @@ def _compact_kernel(nplanes: int, sout: int, gidx_ref, keep_ref, *rest):
     @pl.when(cov > 0)
     def _compact_block():
         gslot = prev_ref[3]
-        nh = 2 * nplanes  # 16-bit halves
+        nh = 4 * nplanes  # 8-bit quarters
         k = r * 128
         halves = []
         for p in range(nplanes):
             v = plane_refs[p][0, 0]  # (r, 128) uint32
-            # Mosaic has no u32->f32 cast; the halves fit int32 exactly.
-            halves.append(
-                (v & 0xFFFF).astype(jnp.int32).astype(jnp.float32).reshape(1, k)
-            )
-            halves.append(
-                (v >> 16).astype(jnp.int32).astype(jnp.float32).reshape(1, k)
-            )
+            # Mosaic has no u32->f32 cast; the quarters fit int32 exactly.
+            for sh in (0, 8, 16, 24):
+                halves.append(
+                    ((v >> sh) & 0xFF).astype(jnp.int32)
+                    .astype(jnp.float32).reshape(1, k)
+                )
 
         # acc[(h, s), l] = sum_k halves[h][k] * (ts[k] == s) * (tl[k] == l)
         # as ONE MXU-shaped contraction: A (nh*sout, K) x BmT (128, K) over
@@ -108,12 +109,12 @@ def _compact_kernel(nplanes: int, sout: int, gidx_ref, keep_ref, *rest):
         bmat_t = (tl.reshape(1, k) == l_rows).astype(jnp.float32)  # (128, K)
         acc = jax.lax.dot_general(
             a, bmat_t, (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision="default",
             preferred_element_type=jnp.float32,
         )
 
         # merge the carried partial row into stripe 0 of every half
-        pend = pend_ref[:, :]  # (8, 128) f32, rows [0, nh) used
+        pend = pend_ref[:, :]  # (4*nplanes, 128) f32
         sections = []
         for h in range(nh):
             sec = acc[h * sout : (h + 1) * sout]  # (sout, 128)
@@ -135,11 +136,12 @@ def _compact_kernel(nplanes: int, sout: int, gidx_ref, keep_ref, *rest):
             pend_ref[h, :] = jnp.where(lane1 < newrot, tail, 0.0)[0]
 
         for p in range(nplanes):
-            # f32 -> i32 is the supported path; halves are < 2^16 so the
-            # int32 bit patterns equal the uint32 ones.
-            lo = sections[2 * p].astype(jnp.int32)
-            hi = sections[2 * p + 1].astype(jnp.int32)
-            obuf_ref[gslot, p] = (lo | (hi << 16)).astype(jnp.uint32)
+            # f32 -> i32 is the supported path; quarters are < 2^8 so
+            # the int32 bit patterns equal the uint32 ones.
+            q = [sections[4 * p + j].astype(jnp.int32) for j in range(4)]
+            obuf_ref[gslot, p] = (
+                q[0] | (q[1] << 8) | (q[2] << 16) | (q[3] << 24)
+            ).astype(jnp.uint32)
 
         # Clamp keeps the DMA in bounds even if a caller-supplied cap is
         # exceeded (output is then garbage past the cap, never OOB; callers
@@ -228,7 +230,7 @@ def compact_rows(planes, keep, cap: int, blk: int = BLK,
             (b, nplanes, cap_rows, 128), jnp.uint32
         ),
         scratch_shapes=[
-            pltpu.VMEM((8, 128), jnp.float32),
+            pltpu.VMEM((4 * nplanes, 128), jnp.float32),
             pltpu.VMEM((2, nplanes, sout, 128), jnp.uint32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SMEM((4,), jnp.int32),

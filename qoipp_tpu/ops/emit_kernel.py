@@ -15,12 +15,15 @@ emitting pixel, ops/compact_kernel.py) and writes the final byte stream:
     double-buffered DMA with a per-window dynamic trip count (the same
     transport pattern as ops/place_kernel.py — the Pallas element-indexed
     pipeline does not overlap dynamic-offset fetches).
-  * Placement is one MXU one-hot matmul per slab: rows carry three exact
-    f32 planes holding the 6-byte chunk template as 16-bit halves (+1
+  * Placement is one MXU one-hot matmul per slab: rows carry six f32
+    planes holding the 6-byte chunk template as single BYTES (+1
     written-flag bias on the first), landing at stripe off>>7 / lane
-    off&127 of the window.  Row r is a real chunk start iff off[r+1] >
-    off[r] (compaction appends only rows with nbytes >= 1; padding and
-    post-sentinel rows are flat), so masking needs no extra plane.
+    off&127 of the window.  8-bit planes run the dot at DEFAULT
+    precision — one bf16 MXU pass instead of HIGHEST's six — and stay
+    exact (values <= 256; one contribution per output element).  Row r
+    is a real chunk start iff off[r+1] > off[r] (compaction appends
+    only rows with nbytes >= 1; padding and post-sentinel rows are
+    flat), so masking needs no extra plane.
   * Intra-chunk bytes are reconstructed by 3 log-shift fill passes that
     carry (template halves, distance-from-chunk-start); a 4-scalar SMEM
     carry continues a chunk across window boundaries.  Byte k of a chunk
@@ -52,7 +55,6 @@ LENR = SW + 24      # candidate slabs fetched per step (worst case + align)
 LENR_BUF = -(-LENR // 16) * 16  # scratch rows: LENR rounded to the tranche
 # grid (the tranche DMA loop writes whole tranches; a buffer sized exactly
 # LENR overflows when need == LENR -- OOB VMEM write)
-_F32_HI = jax.lax.Precision.HIGHEST
 
 
 TRANCHE = 16  # slabs per DMA tranche (content-proportional fetch)
@@ -133,20 +135,25 @@ def _emit_kernel(base_ref, off_hbm, tlo_hbm, thn_hbm, out_ref,
         m = covers & (t >= 0) & (t < WIN)
         ts = jnp.where(m, t >> 7, -1)
         tl = jnp.where(m, t & 127, -1)
-        h0 = ((tlo & 0xFFFF) + 1).astype(jnp.float32)  # +1 = written flag
-        h1 = ((tlo >> 16) & 0xFFFF).astype(jnp.float32)
-        h2 = (thn & 0xFFFF).astype(jnp.float32)
+        # 8-bit planes: exact in ONE default-precision bf16 MXU pass
+        # (values <= 256 fit bf16's significand; every output element
+        # receives exactly one contribution) — vs 6 passes at HIGHEST
+        # for the earlier 16-bit halves (same trick as place_kernel)
+        planes = [((tlo & 0xFF) + 1).astype(jnp.float32),  # +1 = flag
+                  ((tlo >> 8) & 0xFF).astype(jnp.float32),
+                  ((tlo >> 16) & 0xFF).astype(jnp.float32),
+                  ((tlo >> 24) & 0xFF).astype(jnp.float32),
+                  (thn & 0xFF).astype(jnp.float32),
+                  ((thn >> 8) & 0xFF).astype(jnp.float32)]
         hot = ts == stripe_ids  # (SW, 128)
         a = jnp.concatenate(
-            [jnp.where(hot, h0, 0.0),
-             jnp.where(hot, h1, 0.0),
-             jnp.where(hot, h2, 0.0)], axis=0)
+            [jnp.where(hot, p, 0.0) for p in planes], axis=0)
         # contract both operands' LANE axes so tl stays lane-major (the
         # (tl[:, None] == lanes) form forced a relayout every trip)
         bm_t = (out_l == tl).astype(jnp.float32)
         return acc + jax.lax.dot_general(
             a, bm_t, (((1,), (1,)), ((), ())),
-            precision=_F32_HI, preferred_element_type=jnp.float32)
+            precision="default", preferred_element_type=jnp.float32)
 
     # full groups of 8 slabs from ONE load with static in-group slices
     # (a dynamic-offset slab load costs ~3x a static slice); dynamic-trip
@@ -175,15 +182,15 @@ def _emit_kernel(base_ref, off_hbm, tlo_hbm, thn_hbm, out_ref,
         thn = pltpu.bitcast(thn_buf[slot, pl.ds(lr + rr, 1), :], jnp.int32)
         return _slab(offr2[0:1], nxtr, tlo, thn, acc)
 
-    acc = jnp.zeros((3 * SW, 128), jnp.float32)
+    acc = jnp.zeros((6 * SW, 128), jnp.float32)
     acc = jax.lax.fori_loop(0, n // G, group, acc)
     acc = jax.lax.fori_loop((n // G) * G, n, trip, acc)
 
-    h0 = acc[:SW].astype(jnp.int32)
-    h1 = acc[SW:2 * SW].astype(jnp.int32)
-    h2 = acc[2 * SW:].astype(jnp.int32)
-    flag = (h0 != 0).astype(jnp.int32)
-    h0 = h0 - flag
+    p = [acc[k * SW : (k + 1) * SW].astype(jnp.int32) for k in range(6)]
+    flag = (p[0] != 0).astype(jnp.int32)
+    h0 = (p[0] - flag) | (p[1] << 8)
+    h1 = p[2] | (p[3] << 8)
+    h2 = p[4] | (p[5] << 8)
     d = jnp.zeros((SW, 128), jnp.int32)
 
     for k in (1, 2, 4):  # chunk length <= 6 => every byte within 5 of start

@@ -67,7 +67,7 @@ def make_corpus(b, w, h, seed=0, channels=3):
     return desc, raws, blobs
 
 
-def bench_device(desc, raws, blobs, dev, label, runs=10, enc_runs=2):
+def bench_device(desc, raws, blobs, dev, label, runs=10, enc_runs=4):
     """Verify parity then time the batched device pipeline (decode+encode)
     on one corpus; returns (decode MPix/s, encode MPix/s, parity ok)."""
     import jax
@@ -93,20 +93,27 @@ def bench_device(desc, raws, blobs, dev, label, runs=10, enc_runs=2):
     streams = jax.device_put(jnp.asarray(streams_np), dev)
     sizes = jax.device_put(jnp.asarray(sizes_np), dev)
 
-    # verify parity (one batch) before timing — 04_bench.cpp:685-731 analog
+    # verify DECODE parity on ALL images before timing (04_bench.cpp:685-731
+    # analog).  The compare runs on-device against oracle-decoded pixels
+    # (uploaded once at ~460 MB/s H2D) — fetching the decoded batch to host
+    # would pay the ~14 MB/s D2H tunnel rate on ~1 GB of pixels.
     packed = jax.block_until_ready(pipe.decode_packed(streams, sizes))
-    got = np.asarray(packed[:, :n_px])
-    ok = True
-    for i in range(B):
-        want = oracle.decode(blobs[i], desc, desc.channels).reshape(-1, ch)
-        planes = [got[i] & 0xFF, (got[i] >> 8) & 0xFF, (got[i] >> 16) & 0xFF]
-        if ch == 4:
-            planes.append((got[i] >> 24) & 0xFF)
-        g = np.stack(planes, axis=1).astype(np.uint8)
-        if not np.array_equal(g, want):
-            ok = False
-            log(f"PARITY FAIL [{label}] image {i}")
-    log(f"parity[{label}]: {'100%' if ok else 'FAILED'}")
+    want_raw = np.stack(
+        [oracle.decode(b_, desc, desc.channels) for b_ in blobs]
+    )
+    want_dev = jax.device_put(jnp.asarray(want_raw), dev)
+
+    @jax.jit
+    def check_decode(packed, want_u8):
+        want_packed = jax.vmap(lambda r: pixels_to_packed(r, ch))(want_u8)
+        return jnp.all(packed[:, :n_px] == want_packed, axis=1)
+
+    dec_ok_v = np.asarray(check_decode(packed, want_dev))
+    ok = bool(dec_ok_v.all())
+    for i in np.nonzero(~dec_ok_v)[0]:
+        log(f"PARITY FAIL [{label}] image {i}")
+    log(f"parity[{label}]: "
+        f"{'100%' if ok else 'FAILED'} ({B} images, device-compared)")
 
     for _ in range(3):  # warmup
         jax.block_until_ready(pipe.decode_packed(streams, sizes))
@@ -119,8 +126,10 @@ def bench_device(desc, raws, blobs, dev, label, runs=10, enc_runs=2):
     log(f"device decode[{label}]: {t_dev*1e3:.2f} ms/batch = "
         f"{dev_mpix:.1f} MPix/s")
 
-    # the dense per-pixel field planes are ~10x the input, so the corpus
-    # encodes in sub-batches of 32
+    # ENCODE: whole batch in ONE dispatch (lax.map over sub-batches of 32
+    # inside the program — the dense per-pixel field planes are ~10x the
+    # input, so sub-batching bounds memory; host-side sub-batch dispatch
+    # paid ~44 ms of tunnel transport per sub-batch).
     packed_in = jnp.stack(
         [
             jnp.pad(
@@ -129,29 +138,48 @@ def bench_device(desc, raws, blobs, dev, label, runs=10, enc_runs=2):
             for r in raws
         ]
     )
-    eb = min(B, 32)
     packed_in = jax.device_put(packed_in, dev)
-    enc_streams, lengths = jax.block_until_ready(
-        pipe.encode_packed(packed_in[:eb])
+    enc_streams, lengths, okf = jax.block_until_ready(
+        pipe.encode_packed_chunked(packed_in)
     )
-    enc_ok = all(
-        int(lengths[i]) == blobs[i].size
-        and np.array_equal(np.asarray(enc_streams[i, : blobs[i].size]), blobs[i])
-        for i in range(eb)
+    assert bool(jnp.all(okf))
+
+    # ENCODE parity on ALL images, device-compared against the oracle's
+    # streams (uploaded once): bytes within each oracle length + the
+    # length itself (04_bench.cpp:685-731 verifies every image).
+    out_cap = enc_streams.shape[1]
+    want_streams = np.zeros((B, out_cap), np.uint8)
+    want_len = np.zeros(B, np.int32)
+    for i, b_ in enumerate(blobs):
+        want_streams[i, : b_.size] = b_
+        want_len[i] = b_.size
+    want_s_dev = jax.device_put(jnp.asarray(want_streams), dev)
+    want_l_dev = jax.device_put(jnp.asarray(want_len), dev)
+
+    @jax.jit
+    def check_encode(enc, lengths, want, wlen):
+        col = jnp.arange(enc.shape[1], dtype=jnp.int32)[None, :]
+        byte_ok = jnp.all(
+            jnp.where(col < wlen[:, None], enc == want, True), axis=1
+        )
+        return byte_ok & (lengths == wlen)
+
+    enc_ok_v = np.asarray(
+        check_encode(enc_streams, lengths, want_s_dev, want_l_dev)
     )
-    log(f"device encode parity[{label}] ({eb} images): "
-        f"{'100%' if enc_ok else 'FAILED'}")
-    for s in range(0, B, eb):  # warm every sub-batch shape
-        jax.block_until_ready(pipe.encode_packed(packed_in[s : s + eb]))
+    enc_ok = bool(enc_ok_v.all())
+    for i in np.nonzero(~enc_ok_v)[0]:
+        log(f"ENCODE PARITY FAIL [{label}] image {i}")
+    log(f"device encode parity[{label}]: "
+        f"{'100%' if enc_ok else 'FAILED'} ({B} images, device-compared)")
+
+    for _ in range(2):  # warmup beyond the parity run
+        jax.block_until_ready(pipe.encode_packed_chunked(packed_in))
     t0 = time.perf_counter()
     for _ in range(enc_runs):
-        # checked variant: no per-dispatch host sync on the ok flags
-        outs = [
-            pipe.encode_packed_checked(packed_in[s : s + eb])
-            for s in range(0, B, eb)
-        ]
-    jax.block_until_ready(outs)
-    assert all(bool(jnp.all(o[2])) for o in outs)
+        out = pipe.encode_packed_chunked(packed_in)
+    jax.block_until_ready(out)
+    assert bool(jnp.all(out[2]))
     t_enc = (time.perf_counter() - t0) / enc_runs
     enc_mpix = total_px / t_enc / 1e6
     log(f"device encode[{label}]: {t_enc*1e3:.2f} ms/{B} imgs = "

@@ -1,0 +1,175 @@
+#!/usr/bin/env python
+"""Device windowed streaming codec bench — BASELINE.json config 4.
+
+"streaming chunked encode/decode over multi-MB images, bounded state":
+times qoipp_tpu.ops.device_stream.{DeviceStreamDecoder,DeviceStreamEncoder}
+on a multi-MB single image across a window-size sweep, parity-checked
+against the native oracle.  Reference analog: the stream codec is a timed
+first-class competitor ("qoipp2") in example/source/04_bench.cpp:196-201.
+
+Two numbers per config:
+  * end-to-end MPix/s through the public API (host->device->host per
+    window; on the axon tunnel this is D2H-bound at ~14 MB/s, so it is
+    reported but not the headline);
+  * device-compute MPix/s (window kernels timed with device_time_ms, no
+    per-window host transfer) — the co-located-host projection.
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_image(w, h, seed=3):
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:h, 0:w]
+    grad = ((x * 255 // max(w - 1, 1)) // 3 + (y * 150 // max(h - 1, 1)) // 3)
+    base = np.stack([grad, grad + 40, 255 - grad], axis=-1).astype(np.uint8)
+    for _ in range(240):
+        py, px = rng.integers(0, h), rng.integers(0, w)
+        ph, pw = rng.integers(8, h // 6), rng.integers(8, w // 6)
+        base[py : py + ph, px : px + pw] = rng.integers(0, 256, 3)
+    py, px = rng.integers(0, h // 2), rng.integers(0, w // 2)
+    base[py : py + h // 8, px : px + w // 8] = rng.integers(
+        0, 256, (min(h // 8, h - py), min(w // 8, w - px), 3)
+    )
+    return base.reshape(-1)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/qoipp_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from qoipp_tpu import Channels, Desc, oracle
+    from qoipp_tpu.ops import device_stream as ds
+    from qoipp_tpu.ops import replay_kernel as rk
+    from qoipp_tpu.utils.timing import device_time_ms
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {dev}")
+
+    W, H = 4096, 4096  # 16.8 MPix RGB; stream is multi-MB
+    desc = Desc(W, H, Channels.RGB)
+    raw = make_image(W, H)
+    t0 = time.perf_counter()
+    enc, complete = oracle.encode(raw, desc)
+    assert complete
+    t_oe = time.perf_counter() - t0
+    n_px = W * H
+    log(f"image: {W}x{H} RGB = {n_px/1e6:.1f} MPix, stream {enc.size/1e6:.1f} MB"
+        f"  (oracle encode {n_px/t_oe/1e6:.0f} MPix/s)")
+    t0 = time.perf_counter()
+    want = oracle.decode(enc, desc, desc.channels)
+    t_od = time.perf_counter() - t0
+    log(f"oracle decode: {n_px/t_od/1e6:.0f} MPix/s")
+
+    body = enc[14:-8]
+
+    # ---------------- decode: end-to-end API sweep ---------------------------
+    for win_mb in (1, 2, 4):
+        win = win_mb << 20
+        dec = ds.DeviceStreamDecoder(window_cap=win)
+        assert dec.initialize(enc[:14]).value() is not None
+        # warm compile
+        r = dec.decode_window(body[: min(win, body.size)])
+        assert r
+        dec.reset()
+        assert dec.initialize(enc[:14])
+        t0 = time.perf_counter()
+        parts = []
+        for s in range(0, body.size, win):
+            r = dec.decode_window(body[s : s + win])
+            assert r, r.error()
+            parts.append(r.value())
+        t = time.perf_counter() - t0
+        got = np.concatenate(parts)
+        ok = np.array_equal(got, want)
+        log(f"[decode win={win_mb}MB] end-to-end {n_px/t/1e6:.1f} MPix/s "
+            f"({t*1e3:.0f} ms, {body.size//win + 1} windows) parity "
+            f"{'100%' if ok else 'FAIL'}")
+        dec.reset()
+
+    # ---------------- decode: device-compute (window kernel only) -----------
+    for win_mb in (1, 2, 4):
+        win = win_mb << 20
+        qb = -(-win // 128) * 128
+        pixel_cap = -(-8 * qb // 128) * 128
+        region = np.zeros(qb + 8, np.uint8)
+        n0 = min(win, body.size)
+        region[:n0] = body[:n0]
+        prev, seen = rk.initial_state(8)
+        region_j = jax.device_put(jnp.asarray(region), dev)
+
+        def run(region_j, prev, seen):
+            return ds._decode_window(
+                region_j, jnp.int32(n0), prev, seen, qb=qb,
+                pixel_cap=pixel_cap)
+
+        out = jax.block_until_ready(run(region_j, prev, seen))
+        n_pix_w = int(out[1])
+        t = device_time_ms(run, region_j, prev, seen, runs=6)
+        log(f"[decode win={win_mb}MB] device-compute {n_pix_w/t/1e3:.1f} "
+            f"MPix/s ({t:.1f} ms/window, {n_pix_w/1e6:.2f} MPix/window)")
+
+    # ---------------- encode: end-to-end API sweep ---------------------------
+    for wpx_log in (18, 20, 21):
+        wpx = 1 << wpx_log
+        ence = ds.DeviceStreamEncoder(window_px=wpx)
+        hdr = ence.initialize(desc)
+        assert hdr
+        r = ence.encode_window(raw[: wpx * 3])  # warm
+        assert r
+        ence.reset()
+        assert ence.initialize(desc)
+        t0 = time.perf_counter()
+        parts = [hdr.value()]
+        for s in range(0, n_px, wpx):
+            r = ence.encode_window(raw[s * 3 : (s + wpx) * 3])
+            assert r, r.error()
+            parts.append(r.value().tobytes())
+        parts.append(ence.finalize().value())
+        t = time.perf_counter() - t0
+        got = np.frombuffer(b"".join(parts), np.uint8)
+        ok = got.size == enc.size and np.array_equal(got, enc)
+        log(f"[encode win=2^{wpx_log}px] end-to-end {n_px/t/1e6:.1f} MPix/s "
+            f"({t*1e3:.0f} ms) parity {'100%' if ok else 'FAIL'}")
+        ence.reset()
+
+    # ---------------- encode: device-compute (window kernel only) -----------
+    from qoipp_tpu.ops.bitops import pixels_to_packed, START_PIXEL_PACKED
+    from qoipp_tpu.ops import encode as enc_ops
+
+    for wpx_log in (18, 20, 21):
+        wpx = 1 << wpx_log
+        nb = enc_ops.pad_to_tile(wpx)
+        buf = np.zeros((nb, 3), np.uint8)
+        buf[:wpx] = raw[: wpx * 3].reshape(wpx, 3)
+        packed = jax.device_put(
+            pixels_to_packed(jnp.asarray(buf.reshape(-1)), 3), dev)
+        prev = jnp.uint32(START_PIXEL_PACKED)
+        run_c = jnp.uint32(0)
+        seen = jnp.zeros(64, jnp.uint32)
+
+        def erun(packed, prev, run_c, seen):
+            return ds._encode_window(packed, jnp.int32(wpx), prev, run_c,
+                                     seen, channels=3, nb=nb)
+
+        _ = jax.block_until_ready(erun(packed, prev, run_c, seen))
+        t = device_time_ms(erun, packed, prev, run_c, seen, runs=6)
+        log(f"[encode win=2^{wpx_log}px] device-compute {wpx/t/1e3:.1f} "
+            f"MPix/s ({t:.1f} ms/window)")
+
+
+if __name__ == "__main__":
+    main()

@@ -234,6 +234,10 @@ def main():
         ("no-dma", dict(do_dma=False, do_slabs=False)),
         ("dma-only", dict(do_slabs=False, n_fill=0)),
         ("bare", dict(do_dma=False, do_slabs=False, n_fill=0)),
+        ("b4-nofill", dict(n_fill=0, prec="bytes4")),
+        ("b4-fill3", dict(n_fill=3, prec="bytes4")),
+        ("b4-noslab", dict(do_slabs=False, prec="bytes4")),
+        ("b4-dmaonly", dict(do_slabs=False, n_fill=0, prec="bytes4")),
     ]
     for name, kw in cfgs:
         t = device_time_ms(

@@ -73,6 +73,7 @@ class BatchPipeline:
 
         self._decode = jax.jit(self._decode_impl)
         self._encode = jax.jit(self._encode_impl)
+        self._enc_chunked = {}
 
     # -- decode ------------------------------------------------------------
 
@@ -140,6 +141,33 @@ class BatchPipeline:
         raising; streams flagged not-ok must be re-encoded with a larger
         bound."""
         return self._encode(packed)
+
+    def encode_packed_chunked(self, packed, sub: int = 32):
+        """Whole-batch encode in ONE device dispatch, iterating sub-batches
+        of `sub` images inside the compiled program (lax.map reuses the
+        dense per-pixel field planes — ~10x the input — across iterations,
+        bounding memory like the host-side sub-batch loop but without its
+        per-dispatch transport cost: each dispatch pays ~30-48 ms through
+        the axon tunnel).  Returns (streams, lengths, ok) like
+        encode_packed_checked.  B must be a multiple of `sub`."""
+        b = packed.shape[0]
+        if b % sub:
+            raise ValueError(f"batch {b} not a multiple of sub={sub}")
+        key = (b, sub)
+        fn = self._enc_chunked.get(key)
+        if fn is None:
+            nsub = b // sub
+
+            @jax.jit
+            def fn(p):
+                out, lengths, ok = jax.lax.map(
+                    self._encode_impl, p.reshape(nsub, sub, -1)
+                )
+                return (out.reshape(b, -1), lengths.reshape(b),
+                        ok.reshape(b))
+
+            self._enc_chunked[key] = fn
+        return fn(packed)
 
     def encode(self, raws):
         """(B, H, W, C) or (B, n_px*C) uint8 -> (streams, lengths)."""

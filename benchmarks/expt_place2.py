@@ -241,6 +241,10 @@ def main():
     enable_compile_cache()
     on_tpu = jax.default_backend() == "tpu"
     cases = [
+        # bench-corpus-like: ~7.3 pixels/byte (chunks/byte 0.567, heavy
+        # runs) -> ~8.7 content slabs per 8192-px window, 255 windows/img
+        ("bench-like", 8 if not on_tpu else 128, (1 << 13) if not on_tpu
+         else 284928 // 128 * 128, 0.40, 0.20),
         ("photo-ish", 8 if not on_tpu else 128, (1 << 13) if not on_tpu
          else 284928 // 128 * 128, 0.40, 0.002),
         ("flat-runs", 8 if not on_tpu else 128, (1 << 13) if not on_tpu

@@ -93,11 +93,8 @@ def main():
         jax.block_until_ready(run(*caps_used))
         print("(fractional caps tripped; timing the safe-cap program)",
               file=sys.stderr)
-    t0 = time.perf_counter()
-    for _ in range(args.runs):
-        out = run(*caps_used)
-    jax.block_until_ready(out)
-    t_dev = (time.perf_counter() - t0) / args.runs
+    from qoipp_tpu.utils.timing import device_time_ms
+    t_dev = device_time_ms(run, *caps_used, runs=args.runs * 2) / 1e3
 
     print(f"packed encode: device {total_px/t_dev/1e6:.1f} MPix/s "
           f"({t_dev*1e3:.0f} ms, {L} lanes x {np_>>10} Kpx, "

@@ -28,7 +28,7 @@ a time (example/source/04_bench.cpp:849-871).
 from __future__ import annotations
 
 from functools import partial
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -244,22 +244,27 @@ def _bucket_mult(n: int, m: int) -> int:
     return b
 
 
-def plan_lanes_balanced(slots: Sequence[int], n_lanes: int, lane_cap: int
+def plan_lanes_balanced(slots: Sequence[int], n_lanes: int, lane_cap: int,
+                        weights: Optional[Sequence[float]] = None
                         ) -> List[List[int]]:
     """LPT (longest-processing-time) assignment of streams to n_lanes
-    lanes of lane_cap pixel slots: sort descending, place each on the
-    least-loaded lane with room.  Balanced loads matter more than packing
-    density here — every lane pays the WORST lane's static chunk/byte
-    caps (the compile shapes), so an even spread minimizes total work."""
-    order = sorted(range(len(slots)), key=lambda i: -slots[i])
+    lanes of lane_cap pixel slots: sort descending by weight (default:
+    slot count), place each on the least-weighted lane with slot room.
+    Balanced loads matter more than packing density here — every lane
+    pays the WORST lane's static chunk/byte caps (the compile shapes),
+    so an even spread minimizes total work."""
+    w = list(weights) if weights is not None else list(slots)
+    order = sorted(range(len(slots)), key=lambda i: -w[i])
     lanes: List[List[int]] = [[] for _ in range(n_lanes)]
     loads = [0] * n_lanes
+    wloads = [0.0] * n_lanes
     for i in order:
-        cands = sorted(range(n_lanes), key=lambda L: loads[L])
+        cands = sorted(range(n_lanes), key=lambda L: wloads[L])
         for L in cands:
             if loads[L] + slots[i] <= lane_cap:
                 lanes[L].append(i)
                 loads[L] += slots[i]
+                wloads[L] += w[i]
                 break
         else:
             raise ValueError("lane_cap too small for the stream set")
@@ -279,24 +284,26 @@ class PackedEncoder:
     Lane shapes are adaptive: streams spread over `lanes` lanes balanced
     by pixel count (LPT), and the lane size is the smallest compile-size
     bucket that fits — every lane pays the worst lane's STATIC caps, so
-    few large balanced lanes beat many thin ones.  The chunk/byte caps
-    start at density-informed fractions of worst case and the whole call
-    retries once at the safe caps if any lane's checked flag trips
-    (ops/encode.encode_lanes_checked): typical content never retries and
-    avoids sweeping dead capacity.
+    few large balanced lanes beat many thin ones.  The chunk cap is
+    computed EXACTLY at pack time (host-side keep-predicate count), so
+    the table-scan/emit stages sweep no dead capacity; the byte cap
+    starts at a fraction of worst case and the call retries once at the
+    safe caps if a lane's checked flag trips
+    (ops/encode.encode_lanes_checked): typical content never retries.
 
     lane_px: pixel-slot capacity cap per stream AND minimum lane size
         (streams with more pixels must route to the batched pipeline —
         models/serving.py does this).
     lanes: lane count (8 fills the VPU sublanes exactly).
-    chunk_frac / out_frac: initial caps as fractions of the safe bounds.
+    out_frac: initial byte cap as a fraction of the safe bound (the chunk
+        cap is computed EXACTLY at pack time; byte length still needs op
+        selection, so it keeps the fraction + one safe retry).
     """
 
     def __init__(self, lane_px: int = 1 << 20, lanes: int = 8,
-                 chunk_frac: float = 0.45, out_frac: float = 0.3):
+                 out_frac: float = 0.3):
         self.lane_px = _round_up(lane_px, 2048)
         self.lanes = lanes
-        self.chunk_frac = chunk_frac
         self.out_frac = out_frac
 
     def plan_and_pack(self, raws: Sequence[np.ndarray],
@@ -310,7 +317,7 @@ class PackedEncoder:
 
         if len(raws) != len(descs):
             raise ValueError("raws and descs length mismatch")
-        slots = []
+        slots, px_arrays, stream_chunks = [], [], []
         for raw, d in zip(raws, descs):
             npx = d.width * d.height
             ch = int(d.channels)
@@ -324,18 +331,39 @@ class PackedEncoder:
                     f"{self.lane_px - 2}; raise lane_px or route the "
                     "stream to the batched pipeline"
                 )
+            pk = _pack_pixels_np(np.asarray(raw, dtype=np.uint8), ch)
+            px_arrays.append(pk)
             slots.append(npx + 2)
+            # chunk rows are EXACTLY countable per stream at pack time
+            # (streams are table-independent), incl. its 2 tail rows
+            stream_chunks.append(self._count_stream_chunks(pk) + 2)
 
+        # Lane-plan search over lane counts with the measured cost model:
+        # dense+compact stages scale with L*np_ (~1 ns/slot), table-scan +
+        # emit with L*chunk_cap (~1.2 ns/row; chunk_cap = the WORST lane's
+        # chunk count, so the LPT balances a slots+chunks weight).
+        # Bucketed lane sizes keep the compile-shape set bounded.
         total = sum(slots)
-        np_ = _bucket_mult(
-            max(-(-total // self.lanes), max(slots, default=1)), 2048
-        )
-        while True:
-            try:
-                lanes = plan_lanes_balanced(slots, self.lanes, np_)
-                break
-            except ValueError:
-                np_ = _bucket_mult(np_ + 1, 2048)
+        wts = [s + 1.2 * c for s, c in zip(slots, stream_chunks)]
+        best = None
+        for n_lanes in sorted({self.lanes, 8, 10, 12, 16}):
+            np_ = _bucket_mult(
+                max(-(-total // n_lanes), max(slots, default=1)), 2048
+            )
+            while True:
+                try:
+                    cand = plan_lanes_balanced(slots, n_lanes, np_, wts)
+                    break
+                except ValueError:
+                    np_ = _bucket_mult(np_ + 1, 2048)
+            cand = [m for m in cand if m]  # drop empty lanes
+            ccap = _bucket_mult(
+                max((sum(stream_chunks[i] for i in m) for m in cand),
+                    default=1) + CBLK + 256, 2048)
+            cost = len(cand) * (np_ + 1.2 * ccap)
+            if best is None or cost < best[0]:
+                best = (cost, cand, np_, ccap)
+        _, lanes, np_, chunk_cap_t = best
 
         L = len(lanes)
         packed = np.zeros((L, np_), np.uint32)
@@ -350,9 +378,7 @@ class PackedEncoder:
                 d = descs[i]
                 npx = d.width * d.height
                 ch = int(d.channels)
-                packed[Li, off : off + npx] = _pack_pixels_np(
-                    np.asarray(raws[i], dtype=np.uint8), ch
-                )
+                packed[Li, off : off + npx] = px_arrays[i]
                 flags[Li, off] |= enc_ops.FLAG_SEG_START
                 flags[Li, off : off + npx] |= enc_ops.FLAG_VALID
                 flags[Li, off + npx] = enc_ops.FLAG_TAIL0
@@ -364,12 +390,14 @@ class PackedEncoder:
 
         safe_chunk = _round_up(np_ + np_ // 62 + CBLK + 256, 2048)
         safe_out = _bucket_mult(max(int(worst.max()), 1), emit_kernel.WIN)
+        max_count = max(chunk_cap_t - CBLK - 256, 1)
         caps = dict(
-            chunk_cap=min(
-                _bucket_mult(int(self.chunk_frac * np_) + CBLK + 256, 2048),
-                safe_chunk,
-            ),
+            chunk_cap=min(chunk_cap_t, safe_chunk),
+            # bytes still need op selection; ~3 B/chunk covers photo/DIFF/
+            # LUMA mixes (typical ~2.2-2.6) — all-noise RGB content (~4.5)
+            # trips the checked flag and retries once at the safe bound
             out_cap=min(
+                _bucket_mult(3 * max_count + 32, emit_kernel.WIN),
                 _bucket_mult(int(self.out_frac * safe_out) + 1,
                              emit_kernel.WIN),
                 safe_out,
@@ -379,6 +407,28 @@ class PackedEncoder:
             safe_out=safe_out,
         )
         return packed, flags, where, caps
+
+    @staticmethod
+    def _count_stream_chunks(pk: np.ndarray) -> int:
+        """Exact compacted-row count for one stream's packed pixels:
+        noneq pixels + RUN-62 flush points — the keep predicate of
+        ops/encode._encode_lanes_impl's dense pass, on host numpy.
+        (Tail rows are NOT included — the caller adds 2.)"""
+        from ..ops.bitops import START_PIXEL_PACKED
+
+        prev = np.empty_like(pk)
+        prev[0] = np.uint32(START_PIXEL_PACKED)
+        prev[1:] = pk[:-1]
+        eq = pk == prev
+        n_noneq = int((~eq).sum())
+        # maximal eq streaks start right after a noneq/start break, so the
+        # run counter inside a streak of length m is 1..m -> floor(m/62)
+        # RUN-62 flushes
+        e = eq.astype(np.int8)
+        d = np.diff(np.concatenate([[0], e, [0]]))
+        starts = np.nonzero(d == 1)[0]
+        stops = np.nonzero(d == -1)[0]
+        return n_noneq + int(((stops - starts) // 62).sum())
 
     def encode(self, raws: Sequence[np.ndarray],
                descs: Sequence[Desc]) -> List[np.ndarray]:

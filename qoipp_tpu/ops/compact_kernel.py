@@ -40,11 +40,16 @@ from jax.experimental.pallas import tpu as pltpu
 BLK = 2048  # rows per grid step (K); must be a multiple of 128
 
 
-def _compact_kernel(nplanes: int, sout: int, gidx_ref, keep_ref, *rest):
+def _compact_kernel(quarters: tuple, sout: int, gidx_ref, keep_ref, *rest):
     """rest = plane_refs(nplanes) + out_ref (ANY, merged planes) + scratch:
-    pend (4*nplanes, 128) f32, obuf (2, nplanes, sout,
+    pend (sum(quarters), 128) f32, obuf (2, nplanes, sout,
     128) u32 double-buffered, sem (2,) DMA semaphores, prev (3,) SMEM
-    [prev_b, prev_row0, has_prev] for the deferred-wait protocol."""
+    [prev_b, prev_row0, has_prev] for the deferred-wait protocol.
+
+    quarters[p] = number of ACTIVE 8-bit quarters of plane p (callers whose
+    plane values fit fewer bytes skip all-zero A-sections and dot rows —
+    e.g. position|flag planes bounded by 2^24 use 3)."""
+    nplanes = len(quarters)
     plane_refs = rest[:nplanes]
     out_ref = rest[nplanes]
     pend_ref, obuf_ref, sem_ref, prev_ref = rest[nplanes + 1 :]
@@ -82,13 +87,13 @@ def _compact_kernel(nplanes: int, sout: int, gidx_ref, keep_ref, *rest):
     @pl.when(cov > 0)
     def _compact_block():
         gslot = prev_ref[3]
-        nh = 4 * nplanes  # 8-bit quarters
+        nh = sum(quarters)  # active 8-bit quarters
         k = r * 128
         halves = []
         for p in range(nplanes):
             v = plane_refs[p][0, 0]  # (r, 128) uint32
             # Mosaic has no u32->f32 cast; the quarters fit int32 exactly.
-            for sh in (0, 8, 16, 24):
+            for sh in (0, 8, 16, 24)[: quarters[p]]:
                 halves.append(
                     ((v >> sh) & 0xFF).astype(jnp.int32)
                     .astype(jnp.float32).reshape(1, k)
@@ -135,13 +140,17 @@ def _compact_kernel(nplanes: int, sout: int, gidx_ref, keep_ref, *rest):
             )
             pend_ref[h, :] = jnp.where(lane1 < newrot, tail, 0.0)[0]
 
+        base_h = 0
         for p in range(nplanes):
             # f32 -> i32 is the supported path; quarters are < 2^8 so
             # the int32 bit patterns equal the uint32 ones.
-            q = [sections[4 * p + j].astype(jnp.int32) for j in range(4)]
-            obuf_ref[gslot, p] = (
-                q[0] | (q[1] << 8) | (q[2] << 16) | (q[3] << 24)
-            ).astype(jnp.uint32)
+            q = [sections[base_h + j].astype(jnp.int32)
+                 for j in range(quarters[p])]
+            w = q[0]
+            for j in range(1, quarters[p]):
+                w = w | (q[j] << (8 * j))
+            obuf_ref[gslot, p] = w.astype(jnp.uint32)
+            base_h += quarters[p]
 
         # Clamp keeps the DMA in bounds even if a caller-supplied cap is
         # exceeded (output is then garbage past the cap, never OOB; callers
@@ -185,9 +194,10 @@ def _compact_kernel(nplanes: int, sout: int, gidx_ref, keep_ref, *rest):
         ).wait()
 
 
-@partial(jax.jit, static_argnames=("cap", "blk", "interpret"))
+@partial(jax.jit, static_argnames=("cap", "blk", "interpret", "quarters"))
 def compact_rows(planes, keep, cap: int, blk: int = BLK,
-                 interpret: bool | None = None):
+                 interpret: bool | None = None,
+                 quarters: tuple | None = None):
     """Compact kept rows of one or more (B, N) uint32 planes to the front.
 
     planes: tuple of (B, N) uint32 — values to compact (same keep mask).
@@ -195,6 +205,11 @@ def compact_rows(planes, keep, cap: int, blk: int = BLK,
     cap:    static output width; must satisfy cap % 128 == 0 and
             cap >= max_b(count_b) rounded up so that every write window
             [gidx - gidx%128, +blk+128) fits: cap >= counts.max() + blk + 128.
+    quarters: optional per-plane count of ACTIVE low 8-bit quarters
+            (default 4 each).  A plane whose values fit in fewer bytes can
+            skip its all-zero quarters' A-build and MXU dot rows — e.g.
+            position|flag planes bounded by 2^24 pass 3.  Higher bytes of
+            such a plane's output are zero.
 
     Returns (compacted: tuple of (B, cap) uint32, counts: (B,) int32).
     Rows beyond counts[b] are unspecified — mask downstream.
@@ -204,6 +219,9 @@ def compact_rows(planes, keep, cap: int, blk: int = BLK,
     b, n = keep.shape
     assert n % blk == 0 and blk % 128 == 0 and cap % 128 == 0
     nplanes = len(planes)
+    if quarters is None:
+        quarters = (4,) * nplanes
+    assert len(quarters) == nplanes and all(1 <= q <= 4 for q in quarters)
     sout = blk // 128 + 1
     assert cap >= blk + 128, "cap too small for one write window"
 
@@ -220,7 +238,7 @@ def compact_rows(planes, keep, cap: int, blk: int = BLK,
     )
     cap_rows = cap // 128
 
-    kernel = partial(_compact_kernel, nplanes, sout)
+    kernel = partial(_compact_kernel, tuple(quarters), sout)
     out = pl.pallas_call(
         kernel,
         grid=(b, nblk),
@@ -230,7 +248,7 @@ def compact_rows(planes, keep, cap: int, blk: int = BLK,
             (b, nplanes, cap_rows, 128), jnp.uint32
         ),
         scratch_shapes=[
-            pltpu.VMEM((4 * nplanes, 128), jnp.float32),
+            pltpu.VMEM((sum(quarters), 128), jnp.float32),
             pltpu.VMEM((2, nplanes, sout, 128), jnp.uint32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SMEM((4,), jnp.int32),

@@ -49,3 +49,24 @@ def test_compact_three_planes_block_edges():
         for i in range(b):
             c = int(counts[i])
             assert np.array_equal(np.asarray(g[i, :c]), np.asarray(w[i, :c]))
+
+
+def test_compact_active_quarters():
+    # planes with reduced active-quarter counts: values bounded by the
+    # quarter budget compact identically to the 4-quarter path
+    b, n = 3, 2 * BLK
+    rng = np.random.default_rng(11)
+    keep = rng.random((b, n)) < 0.4
+    p4 = jnp.asarray(rng.integers(0, 1 << 32, (b, n), np.uint64).astype(np.uint32))
+    p3 = jnp.asarray(rng.integers(0, 1 << 24, (b, n), np.uint64).astype(np.uint32))
+    p1 = jnp.asarray(rng.integers(0, 1 << 8, (b, n), np.uint64).astype(np.uint32))
+    planes = (p4, p3, p1)
+    cap = ((int(keep.sum(axis=1).max()) + BLK + 256) // 128 + 1) * 128
+    got, counts = compact_rows(planes, jnp.asarray(keep), cap=cap,
+                               quarters=(4, 3, 1))
+    want, wcounts = compact_rows_reference(planes, jnp.asarray(keep), cap=cap)
+    assert np.array_equal(np.asarray(counts), np.asarray(wcounts))
+    for g, w in zip(got, want):
+        for i in range(b):
+            c = int(counts[i])
+            assert np.array_equal(np.asarray(g[i, :c]), np.asarray(w[i, :c]))

@@ -77,9 +77,11 @@ def main():
     body = enc[14:-8]
 
     # ---------------- decode: end-to-end API sweep ---------------------------
+    # run-heavy windows can emit ~10 px/B; place kernel needs % 8192
+    pcap = -(-n_px // 8192) * 8192
     for win_mb in (1, 2, 4):
         win = win_mb << 20
-        dec = ds.DeviceStreamDecoder(window_cap=win)
+        dec = ds.DeviceStreamDecoder(window_cap=win, pixel_cap=pcap)
         assert dec.initialize(enc[:14]).value() is not None
         # warm compile
         r = dec.decode_window(body[: min(win, body.size)])
@@ -104,7 +106,7 @@ def main():
     for win_mb in (1, 2, 4):
         win = win_mb << 20
         qb = -(-win // 128) * 128
-        pixel_cap = -(-8 * qb // 128) * 128
+        pixel_cap = pcap
         region = np.zeros(qb + 8, np.uint8)
         n0 = min(win, body.size)
         region[:n0] = body[:n0]
@@ -147,26 +149,25 @@ def main():
         ence.reset()
 
     # ---------------- encode: device-compute (window kernel only) -----------
-    from qoipp_tpu.ops.bitops import pixels_to_packed, START_PIXEL_PACKED
+    from qoipp_tpu.ops.bitops import START_PIXEL_PACKED
     from qoipp_tpu.ops import encode as enc_ops
 
     for wpx_log in (18, 20, 21):
         wpx = 1 << wpx_log
         nb = enc_ops.pad_to_tile(wpx)
-        buf = np.zeros((nb, 3), np.uint8)
-        buf[:wpx] = raw[: wpx * 3].reshape(wpx, 3)
-        packed = jax.device_put(
-            pixels_to_packed(jnp.asarray(buf.reshape(-1)), 3), dev)
+        buf = np.zeros(nb * 3, np.uint8)
+        buf[: wpx * 3] = raw[: wpx * 3]
+        raw_d = jax.device_put(jnp.asarray(buf), dev)
         prev = jnp.uint32(START_PIXEL_PACKED)
         run_c = jnp.uint32(0)
         seen = jnp.zeros(64, jnp.uint32)
 
-        def erun(packed, prev, run_c, seen):
-            return ds._encode_window(packed, jnp.int32(wpx), prev, run_c,
+        def erun(raw_d, prev, run_c, seen):
+            return ds._encode_window(raw_d, jnp.int32(wpx), prev, run_c,
                                      seen, channels=3, nb=nb)
 
-        _ = jax.block_until_ready(erun(packed, prev, run_c, seen))
-        t = device_time_ms(erun, packed, prev, run_c, seen, runs=6)
+        _ = jax.block_until_ready(erun(raw_d, prev, run_c, seen))
+        t = device_time_ms(erun, raw_d, prev, run_c, seen, runs=6)
         log(f"[encode win=2^{wpx_log}px] device-compute {wpx/t/1e3:.1f} "
             f"MPix/s ({t:.1f} ms/window)")
 

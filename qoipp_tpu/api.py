@@ -99,17 +99,31 @@ def _materialize_gen(gen: Callable[[int], Pixel], desc: Desc) -> np.ndarray:
     return out.reshape(-1)
 
 
+# One-shot auto-routing threshold (pixels).  None = one-shot calls always
+# route native; an int routes images >= that many pixels to the device.
+# Default None is MEASURED, not assumed (benchmarks/routing_oneshot.py on
+# v5e via the axon tunnel, round 3): a one-shot call must move raw pixels
+# over the transport (H2D ~460 MB/s, D2H ~14 MB/s — BASELINE.md), so a
+# single 1080p decode pays ~440 ms of pixel fetch against a ~3 ms native
+# decode and encode pays ~45 ms of upload + stream fetch against ~8 ms
+# native: native wins BOTH directions at EVERY size here.  Deployments
+# with co-located hosts (PCIe-class transport) should set a threshold
+# (~2^18 px) — the device compute itself is 3-9x the oracle (BASELINE.md).
+# Reference analog: the measured checked/unchecked dispatch predicate,
+# source/simple.cpp:249-251.
+ONESHOT_DEVICE_THRESHOLD: Optional[int] = None
+
+
 def _resolve_backend(backend: str, n_pixels: int) -> str:
     if backend in ("native", "jax"):
         return backend
-    # auto: the parallel codec pays off on large images on an accelerator;
-    # small images are dominated by the ~30 ms dispatch round trip, and on
-    # CPU-only hosts the Pallas kernels run in interpret mode (orders of
-    # magnitude slower than the native oracle), so both route to native.
-    # Measured (v5e, 1920x1088, BASELINE.md): device decode ~1.9 GPix/s /
-    # encode ~0.6 GPix/s batched vs oracle ~0.6-0.8 / ~0.2 GPix/s on this
-    # host's CPU.
-    if n_pixels >= 1 << 18:
+    # auto: batched/packed/serving pipelines (models/) are the device
+    # path — transport amortizes across the batch and results stay
+    # HBM-resident; one-shot calls follow ONESHOT_DEVICE_THRESHOLD above.
+    if (
+        ONESHOT_DEVICE_THRESHOLD is not None
+        and n_pixels >= ONESHOT_DEVICE_THRESHOLD
+    ):
         try:
             import jax
 

@@ -41,6 +41,8 @@ from .bitops import (
     hash6,
     packed_to_pixels,
     pixels_to_packed,
+    to_int8,
+    unpack_channel,
 )
 
 _START_HASH = (11 * 255) % 64
@@ -48,6 +50,20 @@ _START_HASH = (11 * 255) % 64
 
 def _round_up(n, m):
     return -(-n // m) * m
+
+
+def _unpack_pixels_np(packed: np.ndarray, channels: int) -> np.ndarray:
+    """Host-side (N,) u32 -> (N*ch,) u8 (numpy analog of
+    bitops.packed_to_pixels) — per-window device unpack ops would each
+    cost a ~48 ms eager tunnel round trip."""
+    n = packed.shape[0]
+    out = np.empty((n, channels), np.uint8)
+    out[:, 0] = packed & 0xFF
+    out[:, 1] = (packed >> 8) & 0xFF
+    out[:, 2] = (packed >> 16) & 0xFF
+    if channels == 4:
+        out[:, 3] = packed >> 24
+    return out.reshape(-1)
 
 
 # --------------------------------------------------------------------------
@@ -61,8 +77,13 @@ def _decode_window(region, win_len, prev_in, seen_in, qb: int, pixel_cap: int):
 
     region: (qb + 8,) u8 (window bytes, zero-padded); win_len: traced byte
     count.  Returns (packed (pixel_cap,), n_pixels, consumed_bytes,
-    prev_out, seen_out).
+    prev_out, seen_out).  Placement + run fill run through the production
+    Pallas place kernel (pixel_cap % place_kernel.WIN == 0); rows whose
+    pixels land beyond pixel_cap simply never place (the caller rejects
+    the window via the n_pixels > pixel_cap check).
     """
+    from . import place_kernel
+
     q = jnp.arange(qb, dtype=jnp.int32)
     is_start = boundary.chunk_starts(region[:qb])
     lens = boundary.chunk_len_of(region[:qb]).astype(jnp.int32)
@@ -87,10 +108,10 @@ def _decode_window(region, win_len, prev_in, seen_in, qb: int, pixel_cap: int):
     emits, prev_out, seen_out = rk.replay_batch_carry(
         meta_b, val_b, prev_in, seen_in
     )
-    packed = dec_ops.expand_bytes_batch(
-        emits[: qb, :1].T, complete[None], produced[None], pix_before[None],
-        pixel_cap,
-    )[0]
+    pb = pix_before[None]  # (1, qb); non-producing rows never place
+    em = emits[:qb, :1].T
+    base = place_kernel.window_base_rows(pb, pixel_cap)
+    packed = place_kernel.place_fill(pb, em, base, pixel_cap)[0]
     n_pixels = jnp.sum(produced)
     return packed, n_pixels, consumed, prev_out, seen_out
 
@@ -99,8 +120,12 @@ class DeviceStreamDecoder:
     """Window-granular streaming QOI decoder with device-resident state."""
 
     def __init__(self, window_cap: int = 1 << 20, pixel_cap: Optional[int] = None):
+        from . import place_kernel
+
         self.window_cap = _round_up(window_cap, boundary.BLOCK)
-        self.pixel_cap = pixel_cap or _round_up(8 * self.window_cap, 128)
+        self.pixel_cap = _round_up(
+            pixel_cap or 8 * self.window_cap, place_kernel.WIN
+        )
         self._lanes = 8
         self._desc: Optional[Desc] = None
         self._target: Optional[Channels] = None
@@ -157,9 +182,15 @@ class DeviceStreamDecoder:
             # state advances only over consumed chunks: replay guaranteed
             # since complete-chunk prefix == consumed prefix
             self._prev, self._seen = prev, seen
+            # fetch only the real pixel span (rounded to a coarse bucket:
+            # an exact-length eager slice would compile a fresh program
+            # per distinct pixel count, ~30 s each through the tunnel)
+            # and unpack on HOST — eager device unpack ops cost a ~48 ms
+            # round trip each
+            m = min(_round_up(max(n_pix, 1), 1 << 19), self.pixel_cap)
             out_parts.append(
-                np.asarray(
-                    packed_to_pixels(packed[:n_pix], int(self._target))
+                _unpack_pixels_np(
+                    np.asarray(packed[:m])[:n_pix], int(self._target)
                 )
             )
             pos += consumed
@@ -182,51 +213,178 @@ class DeviceStreamDecoder:
 
 
 @partial(jax.jit, static_argnames=("channels", "nb"))
-def _encode_window(packed, n_px, prev_c, run_c, seen_c, channels: int, nb: int):
-    """Encode one pixel window with carried state.
+def _encode_window(raw_u8, n_px, prev_c, run_c, seen_c, channels: int, nb: int):
+    """Encode one pixel window with carried state — compact-first kernel
+    path (MXU compaction + output-driven Pallas emit; the round-1 XLA
+    scatter emission measured ~18 MPix/s on chip, this path matches the
+    batch encoder's per-pixel cost).
 
-    packed: (nb,) u32; n_px: pixels in window; prev_c/run_c: carried prev
-    pixel / run counter; seen_c: (64,) carried table.
-    Returns (bytes (w_cap,), length, prev_out, run_out, seen_out).
+    raw_u8: (nb*channels,) u8 raw pixels (padding arbitrary) — packing
+    happens INSIDE the jit (eager packing ops each cost a ~48 ms tunnel
+    round trip); n_px: pixels in window; prev_c/run_c: carried prev
+    pixel / run counter (0..61); seen_c: (64,) carried table.
+    Returns (bytes (out_cap,), length, prev_out, run_out, seen_out).
     """
-    template, nbytes, _tail, _ = enc_ops._encode_fields(
-        packed, n_px, channels,
-        carry_prev=prev_c, carry_run=run_c, carry_seen=seen_c,
-    )
-    offsets = jnp.cumsum(nbytes) - nbytes
-    chunks_end = jnp.sum(nbytes)
-    w_cap = (channels + 1) * nb + 16
-    out = jnp.zeros(w_cap + 1, jnp.uint8)
-    for k in range(6):
-        contrib = jnp.where(k < nbytes, template[:, k], 0)
-        idx_k = jnp.minimum(offsets + k, w_cap)
-        out = out.at[idx_k].add(contrib, indices_are_sorted=True)
-    out = out[:w_cap]
+    from .compact_kernel import BLK as CBLK
+    from .compact_kernel import compact_rows
+    from . import emit_kernel
 
-    # carry out
+    TAG_RUN = enc_ops.TAG_RUN
+    packed = pixels_to_packed(raw_u8, channels)
+
+    # ---- dense pass with carried (prev, run) ------------------------------
     idx = jnp.arange(nb, dtype=jnp.int32)
     valid = idx < n_px
-    prev_arr = jnp.concatenate([jnp.array([prev_c], jnp.uint32), packed[:-1]])
-    eq_raw = packed == prev_arr
-    last_noneq = jax.lax.cummax(
-        jnp.where(valid & ~eq_raw, idx, -(run_c.astype(jnp.int32) + 1))
-    )
-    cnt = idx - last_noneq
-    last = n_px - 1
-    run_out = jnp.where(eq_raw[last] & valid[last], cnt[last] % 62, 0)
-    prev_out = packed[last]
-
-    # table out: last differing pixel per slot, else carried entry
-    h = hash6(packed)
+    run0 = run_c.astype(jnp.int32)
+    prev = jnp.concatenate([prev_c[None].astype(jnp.uint32), packed[:-1]])
+    eq_raw = packed == prev
     noneq = valid & ~eq_raw
+    # a carried run extends the streak virtually before position 0
+    last_noneq = jax.lax.cummax(jnp.where(noneq, idx, -(run0 + 1)))
+    cnt = idx - last_noneq
+    hit62 = eq_raw & valid & (cnt % 62 == 0)
+    keep = noneq | hit62
+    fb = 21 if nb <= 1 << 21 else 30
+    posflag = (idx | jnp.where(noneq, 1 << fb, 0)).astype(jnp.uint32)
+
+    pad = (-nb) % CBLK
+    packed_p = jnp.pad(packed, (0, pad))[None]
+    posflag_p = jnp.pad(posflag, (0, pad))[None]
+    keep_p = jnp.pad(keep, (0, pad))[None]
+
+    chunk_cap = _round_up(nb + nb // 62 + CBLK + 256, 128)
+    out_cap = _round_up((channels + 1) * nb + 64, emit_kernel.WIN)
+
+    (pk_c, pf_c), counts = compact_rows(
+        (packed_p, posflag_p), keep_p, cap=chunk_cap,
+        quarters=(4, 3 if fb == 21 else 4),
+    )
+    rows = jnp.arange(chunk_cap, dtype=jnp.int32)[None, :]
+    valid_c = rows < counts[:, None]
+    pk_c = jnp.where(valid_c, pk_c, 0)
+    pf_c = jnp.where(valid_c, pf_c, 0)
+    pos = (pf_c & ((1 << fb) - 1)).astype(jnp.int32)
+    nq_c = valid_c & (((pf_c >> fb) & 1) == 1)
+
+    prev_cr = jnp.concatenate(
+        [prev_c[None, None].astype(jnp.uint32), pk_c[:, :-1]], axis=1
+    )
+    # pos_prev init -1 - run0 makes the first flush gap include the carry:
+    # any 62-overflow before the first noneq produced a hit62 row, so the
+    # remaining gap is < 62 and the RUN byte arithmetic stays exact
+    pos_prev = jnp.concatenate(
+        [jnp.full((1, 1), -1 - run0, jnp.int32), pos[:, :-1]], axis=1
+    )
+    gap = jnp.where(valid_c, pos - pos_prev - 1, 0)
+
+    # ---- sparse fields on chunk rows (carried table) ----------------------
+    h = hash6(pk_c)
+    table_val = enc_ops._last_same_hash_value(
+        pk_c[0], h[0], nq_c[0], incoming=seen_c
+    )[None]
+    is_index = nq_c & (table_val == pk_c)
+    a_cur = unpack_channel(pk_c, 3)
+    a_prev = unpack_channel(prev_cr, 3)
+    if channels == 4:
+        is_rgba = nq_c & ~is_index & (a_cur != a_prev)
+    else:
+        is_rgba = jnp.zeros((1, chunk_cap), bool)
+
+    dr = to_int8(unpack_channel(pk_c, 0) - unpack_channel(prev_cr, 0))
+    dg = to_int8(unpack_channel(pk_c, 1) - unpack_channel(prev_cr, 1))
+    db = to_int8(unpack_channel(pk_c, 2) - unpack_channel(prev_cr, 2))
+    dr_dg = to_int8((dr - dg).astype(jnp.uint32))
+    db_dg = to_int8((db - dg).astype(jnp.uint32))
+    in_diff = (
+        (dr >= -2) & (dr <= 1) & (dg >= -2) & (dg <= 1) & (db >= -2) & (db <= 1)
+    )
+    in_luma = (
+        (dg >= -32) & (dg <= 31)
+        & (dr_dg >= -8) & (dr_dg <= 7)
+        & (db_dg >= -8) & (db_dg <= 7)
+    )
+    rest = nq_c & ~is_index & ~is_rgba
+    is_diff = rest & in_diff
+    is_luma = rest & ~in_diff & in_luma
+    is_rgb = rest & ~in_diff & ~in_luma
+    own_len = jnp.where(
+        is_index, 1,
+        jnp.where(is_rgba, 5,
+                  jnp.where(is_diff, 1,
+                            jnp.where(is_luma, 2,
+                                      jnp.where(is_rgb, 4, 0)))),
+    ).astype(jnp.uint32)
+
+    r8 = unpack_channel(pk_c, 0)
+    g8 = unpack_channel(pk_c, 1)
+    b8 = unpack_channel(pk_c, 2)
+    diff_byte = (enc_ops.TAG_DIFF | ((dr + 2) << 4) | ((dg + 2) << 2)
+                 | (db + 2)).astype(jnp.uint32)
+    luma0 = (enc_ops.TAG_LUMA | (dg + 32)).astype(jnp.uint32)
+    luma1 = (((dr_dg + 8) << 4) | (db_dg + 8)).astype(jnp.uint32)
+    z = jnp.zeros((1, chunk_cap), jnp.uint32)
+    o0 = jnp.where(is_index, h.astype(jnp.uint32),
+                   jnp.where(is_rgba, jnp.uint32(enc_ops.TAG_RGBA),
+                             jnp.where(is_diff, diff_byte,
+                                       jnp.where(is_luma, luma0,
+                                                 jnp.where(is_rgb,
+                                                           jnp.uint32(
+                                                               enc_ops.TAG_RGB),
+                                                           z)))))
+    o1 = jnp.where(is_rgba | is_rgb, r8, jnp.where(is_luma, luma1, z))
+    o2 = jnp.where(is_rgba | is_rgb, g8, z)
+    o3 = jnp.where(is_rgba | is_rgb, b8, z)
+    o4 = jnp.where(is_rgba, a_cur, z)
+
+    run_byte = jnp.where(
+        nq_c, jnp.uint32(TAG_RUN) | ((gap - 1).astype(jnp.uint32) & 0x3F),
+        jnp.uint32(TAG_RUN | 61),
+    )
+    has_run = jnp.where(nq_c, gap > 0, valid_c)  # non-noneq rows are hit62
+    b0 = jnp.where(has_run, run_byte, o0)
+    b1 = jnp.where(has_run, o0, o1)
+    b2 = jnp.where(has_run, o1, o2)
+    b3 = jnp.where(has_run, o2, o3)
+    b4 = jnp.where(has_run, o3, o4)
+    b5 = jnp.where(has_run, o4, z)
+    nbytes_c = own_len + has_run.astype(jnp.uint32)
+    tlo_c = b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
+    thn_c = b4 | (b5 << 8) | (nbytes_c << 16)
+
+    # 1-byte sentinel row at counts keeps the last real row covered in
+    # the emit kernel (same protocol as encode_batch; excluded from len)
+    upd = jax.vmap(lambda p, v, c: jax.lax.dynamic_update_slice(p, v, (c,)))
+    tlo_c = upd(tlo_c, jnp.zeros((1, 1), jnp.uint32), counts)
+    thn_c = upd(thn_c, jnp.full((1, 1), np.uint32(1 << 16)), counts)
+
+    nb_c = (thn_c >> 16).astype(jnp.int32)
+    nb_c = jnp.where(rows <= counts[:, None], nb_c, 0)
+    off = jnp.cumsum(nb_c, axis=1) - nb_c
+    total_len = jnp.sum(nb_c, axis=1)[0] - 1  # sentinel byte excluded
+
+    base = emit_kernel.window_base_rows(off, out_cap)
+    words = emit_kernel.emit_bytes(off, tlo_c, thn_c, base, out_cap)
+    out = words[0].astype(jnp.uint8)
+    out = jnp.where(jnp.arange(out_cap, dtype=jnp.int32) < total_len, out, 0)
+
+    # ---- carry out ---------------------------------------------------------
+    last = n_px - 1
+    prev_out = jax.lax.dynamic_slice(packed, (last,), (1,))[0]
+    eq_last = jax.lax.dynamic_slice(
+        eq_raw.astype(jnp.int32), (last,), (1,))[0]
+    cnt_last = jax.lax.dynamic_slice(cnt, (last,), (1,))[0]
+    run_out = jnp.where(eq_last == 1, cnt_last % 62, 0).astype(jnp.uint32)
+
+    # table out from chunk rows only (run interiors never touch the table)
     slot_ids = jnp.arange(64, dtype=jnp.int32)
-    m = (h[None, :] == slot_ids[:, None]) & noneq[None, :]  # (64, nb)
-    jbest = jnp.max(jnp.where(m, idx[None, :] + 1, 0), axis=1)  # (64,)
-    sel = (idx[None, :] + 1) == jbest[:, None]
-    vals = jnp.sum(jnp.where(sel, packed[None, :], 0), axis=1)
+    crow = jnp.arange(chunk_cap, dtype=jnp.int32)
+    m = (h[0][None, :] == slot_ids[:, None]) & nq_c[0][None, :]  # (64, C)
+    jbest = jnp.max(jnp.where(m, crow[None, :] + 1, 0), axis=1)
+    sel = (crow[None, :] + 1) == jbest[:, None]
+    vals = jnp.sum(jnp.where(sel, pk_c[0][None, :], 0), axis=1)
     seen_out = jnp.where(jbest > 0, vals, seen_c)
 
-    return out, chunks_end, prev_out, run_out, seen_out
+    return out, total_len, prev_out, run_out, seen_out
 
 
 class DeviceStreamEncoder:
@@ -275,15 +433,18 @@ class DeviceStreamEncoder:
         out_parts = []
         for s in range(0, n, self.window_px):
             cnt = min(self.window_px, n - s)
-            buf = np.zeros((self.nb, ch), np.uint8)
-            buf[:cnt] = raw[s * ch : (s + cnt) * ch].reshape(cnt, ch)
-            packed = pixels_to_packed(jnp.asarray(buf.reshape(-1)), ch)
+            buf = np.zeros(self.nb * ch, np.uint8)
+            buf[: cnt * ch] = raw[s * ch : (s + cnt) * ch]
             out, length, prev, run, seen = _encode_window(
-                packed, jnp.int32(cnt), self._prev, self._run, self._seen,
-                channels=ch, nb=self.nb,
+                jnp.asarray(buf), jnp.int32(cnt), self._prev, self._run,
+                self._seen, channels=ch, nb=self.nb,
             )
             self._prev, self._run, self._seen = prev, run, seen
-            out_parts.append(np.asarray(out[: int(length)]))
+            # bucketed fetch: an exact-length eager slice compiles a new
+            # program per distinct byte length (~30 s via the tunnel)
+            length = int(length)
+            m = min(_round_up(max(length, 1), 8192), out.shape[0])
+            out_parts.append(np.asarray(out[:m])[:length])
         return Result.ok(
             np.concatenate(out_parts) if out_parts else np.zeros(0, np.uint8)
         )

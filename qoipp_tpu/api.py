@@ -102,13 +102,14 @@ def _materialize_gen(gen: Callable[[int], Pixel], desc: Desc) -> np.ndarray:
 # One-shot auto-routing threshold (pixels).  None = one-shot calls always
 # route native; an int routes images >= that many pixels to the device.
 # Default None is MEASURED, not assumed (benchmarks/routing_oneshot.py on
-# v5e via the axon tunnel, round 3): a one-shot call must move raw pixels
-# over the transport (H2D ~460 MB/s, D2H ~14 MB/s — BASELINE.md), so a
-# single 1080p decode pays ~440 ms of pixel fetch against a ~3 ms native
-# decode and encode pays ~45 ms of upload + stream fetch against ~8 ms
-# native: native wins BOTH directions at EVERY size here.  Deployments
-# with co-located hosts (PCIe-class transport) should set a threshold
-# (~2^18 px) — the device compute itself is 3-9x the oracle (BASELINE.md).
+# v5e via the axon tunnel, round 3, warm per-direction wall clock incl.
+# transport): a one-shot call must move raw pixels over the transport
+# (H2D ~460 MB/s, D2H ~14 MB/s — BASELINE.md), so native wins BOTH
+# directions at EVERY size here — 151x/70x (dec/enc) at 512x512,
+# 59x/21x at 1080p, 28x/13x at 4K (e.g. 1080p device decode 178 ms vs
+# native 3.0 ms).  Deployments with co-located hosts (PCIe-class
+# transport) should set a threshold (~2^18 px) — the device compute
+# itself is 3-9x the oracle when transport is amortized (BASELINE.md).
 # Reference analog: the measured checked/unchecked dispatch predicate,
 # source/simple.cpp:249-251.
 ONESHOT_DEVICE_THRESHOLD: Optional[int] = None

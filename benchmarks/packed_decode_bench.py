@@ -83,17 +83,17 @@ def main():
 
     # device-only: stage the packed lanes once, time the jit (the same
     # balanced plan decode() settled on)
-    regions, flags, sizes, _, _, qb, n_cap = dec.plan_and_pack(blobs)
-    L = regions.shape[0]
+    regions, seg, sizes, _, _, qb, n_cap, l_total = dec.plan_and_pack(blobs)
+    L = l_total
     regions_d = jnp.asarray(regions)
-    flags_d = jnp.asarray(flags)
+    seg_d = jnp.asarray(seg)
     sizes_d = jnp.asarray(sizes)
     jax.block_until_ready(packed_mod._decode_lanes(
-        regions_d, flags_d, sizes_d, qb=qb, n_cap=n_cap))
+        regions_d, seg_d, sizes_d, qb=qb, n_cap=n_cap, l_total=l_total))
     t0 = time.perf_counter()
     for _ in range(args.runs):
         out = packed_mod._decode_lanes(
-            regions_d, flags_d, sizes_d, qb=qb, n_cap=n_cap)
+            regions_d, seg_d, sizes_d, qb=qb, n_cap=n_cap, l_total=l_total)
     jax.block_until_ready(out)
     t_dev = (time.perf_counter() - t0) / args.runs
 

@@ -40,14 +40,22 @@ def main():
     total_px = sum(d.width * d.height for d in descs)
 
     dec = PackedDecoder(lane_bytes=cap)
-    regions, flags, sizes, where, _, qb, n_cap = dec.plan_and_pack(blobs)
-    L = regions.shape[0]
+    regions, seg, sizes, where, _, qb, n_cap, l_total = dec.plan_and_pack(blobs)
+    L = l_total
     print(f"{L} lanes x {qb>>10}KB, n_cap {n_cap>>10}Kpx, "
           f"{total_px/1e6:.1f} MPix", file=sys.stderr)
 
+    # stage fns want the full lane grid (this profiler measures device
+    # stages, not transport, so pad on host)
+    regions = np.pad(regions, ((0, l_total - regions.shape[0]), (0, 0)))
     regions_d = jnp.asarray(regions)
-    flags_d = jnp.asarray(flags)
+    seg_d = jnp.asarray(seg)
     sizes_d = jnp.asarray(sizes)
+
+    def _flags(regions):
+        f = jnp.zeros(l_total * qb, jnp.uint32).at[seg_d].set(
+            1, indices_are_sorted=True, unique_indices=True)
+        return f.reshape(l_total, qb)
 
     def st_boundary(regions, flags, sizes):
         return boundary.analyze_region_batch(
@@ -56,7 +64,7 @@ def main():
     def st_fields(regions, flags, sizes):
         info = st_boundary(regions, flags, sizes)
         meta, val = dec_ops.fields_dense_batch(regions, info["real"])
-        meta = meta | (flags[:, :qb].astype(jnp.uint32) << 9)
+        meta = meta | (_flags(regions) << 9)
         return meta, val, info["pix_before"]
 
     def st_replay(regions, flags, sizes):
@@ -70,12 +78,13 @@ def main():
 
     def st_full(regions, flags, sizes):
         from qoipp_tpu.models.packed import _decode_lanes
-        return _decode_lanes(regions, flags, sizes, qb=qb, n_cap=n_cap)
+        return _decode_lanes(regions, seg_d, sizes, qb=qb, n_cap=n_cap,
+                             l_total=l_total)
 
     for name, fn in [("boundary", st_boundary), ("fields", st_fields),
                      ("replay", st_replay), ("full", st_full)]:
         f = jax.jit(fn)
-        t = device_time_ms(lambda: f(regions_d, flags_d, sizes_d), runs=5)
+        t = device_time_ms(lambda: f(regions_d, seg_d, sizes_d), runs=5)
         print(f"{name:>9}: {t:7.1f} ms  ({total_px/t/1e3:.0f} MPix/s)")
 
 

@@ -35,9 +35,8 @@ sys.path.insert(0, str(ROOT / "tests"))
 
 def _sync_decode_plan(plan):
     """Tiny dependent fetch on every device output of a decode plan."""
-    _, packed_part, bucket_parts = plan
-    if packed_part is not None:
-        _, (dev, _, _) = packed_part
+    _, packed_parts, bucket_parts = plan
+    for _, (dev, _, _) in packed_parts:
         np.asarray(dev[0, 0])
     for _, _, sub in bucket_parts:
         for _, dev in sub:
@@ -48,7 +47,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicate", type=int, default=8)
     ap.add_argument("--runs", type=int, default=5)
-    ap.add_argument("--lane-kb", type=int, default=256)
+    ap.add_argument("--lane-kb", type=int, default=8 << 10)
     ap.add_argument("--no-encode", action="store_true")
     args = ap.parse_args()
 
@@ -85,6 +84,7 @@ def main():
           file=sys.stderr)
 
     # serve (HBM-resident): dispatch + device completion; RTT subtracted
+    _sync_decode_plan(codec.decode_dispatch(blobs[:1]))  # warm probe shape
     t0 = time.perf_counter()
     _sync_decode_plan(codec.decode_dispatch(blobs[:1]))
     rtt = time.perf_counter() - t0

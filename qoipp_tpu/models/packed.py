@@ -66,14 +66,31 @@ def plan_lanes(items: Sequence[Tuple[int, int]], lane_bytes: int
     return lanes
 
 
-@partial(jax.jit, static_argnames=("qb", "n_cap"))
-def _decode_lanes(regions, flags, chunks_sizes, qb: int, n_cap: int):
+@partial(jax.jit, static_argnames=("qb", "n_cap", "l_total"))
+def _decode_lanes(regions, seg_flat, chunks_sizes, qb: int, n_cap: int,
+                  l_total: int | None = None):
+    """regions: (L_ne, qb+8) u8 — only NONEMPTY lanes ride the transport
+    (H2D through the tunnel runs ~72 MB/s; a 16-multiple lane grid with
+    empty tail lanes is padded HERE, on device, for free).  seg_flat:
+    (S,) i32 flat lane*qb+offset stream-start indices — the old dense
+    flags plane doubled the upload for a handful of set bits."""
+    l_ne = regions.shape[0]
+    if l_total is None:
+        l_total = l_ne
+    if l_total > l_ne:
+        regions = jnp.pad(regions, ((0, l_total - l_ne), (0, 0)))
+    flags = (
+        jnp.zeros(l_total * qb, jnp.uint32)
+        .at[seg_flat]
+        .set(1, indices_are_sorted=True, unique_indices=True)
+        .reshape(l_total, qb)
+    )
     info = boundary.analyze_region_batch(
         regions[:, :qb], chunks_sizes, jnp.int32(0)
     )
     real, pix_before = info["real"], info["pix_before"]
     meta, val = dec_ops.fields_dense_batch(regions, real)
-    meta = meta | (flags[:, :qb].astype(jnp.uint32) << 9)  # stream resets
+    meta = meta | (flags << 9)  # stream resets
     b = meta.shape[0]
     bpad = (-b) % 8
     qpad = (-qb) % 512
@@ -125,23 +142,24 @@ class PackedDecoder:
         the serving-loop form (the north star measures decode into
         HBM-resident tensors; fetching through the transport is the
         caller's amortizable cost, see BASELINE.md transport notes)."""
-        regions, flags, chunks_sizes, where, descs, qb, n_cap = (
+        regions, seg, chunks_sizes, where, descs, qb, n_cap, l_total = (
             self.plan_and_pack(blobs)
         )
         packed = _decode_lanes(
             jnp.asarray(regions),
-            jnp.asarray(flags),
+            jnp.asarray(seg),
             jnp.asarray(chunks_sizes),
             qb=qb,
             n_cap=n_cap,
+            l_total=l_total,
         )
         return packed, where, descs
 
     def plan_and_pack(self, blobs: Sequence):
         """Host staging: plan balanced lanes and build the dense device
-        inputs.  Returns (regions (L, qb+8) u8, flags (L, qb+8) u8,
-        chunks_sizes (L,) i32, where [(lane, px_offset)], descs, qb,
-        n_cap)."""
+        inputs.  Returns (regions (L_ne, qb+8) u8 — nonempty lanes only,
+        seg (S,) i32 flat stream-start indices, chunks_sizes (l_total,)
+        i32, where [(lane, px_offset)], descs, qb, n_cap, l_total)."""
         arrs = [
             np.frombuffer(bytes(x), np.uint8)
             if not isinstance(x, np.ndarray) else x
@@ -163,35 +181,66 @@ class PackedDecoder:
                     f"{self.lane_bytes}; raise lane_bytes or route the "
                     "stream to the batched pipeline"
                 )
-        # balanced LPT spread over as many lanes as streams allow (the
-        # lane count stays a multiple of 16: XLA picks a transposed
-        # 18x-padded layout for (7, several-M) u32 temps otherwise)
+        # Lane-plan search with the measured decode cost model (ns, round
+        # 3, BASELINE.md stage profile): replay is sequential in the lane
+        # DEPTH qb (~46/byte-step); boundary+fields+H2D sweep every
+        # lane-grid cell (~2.45/cell incl. the ~2.2 ns/B upload); the
+        # place kernel sweeps lanes x pixel-cap (~0.27/cell).  qb is set
+        # by the heaviest lane's BYTES and n_cap by the heaviest lane's
+        # PIXELS, so the LPT balances a combined weight — a byte-light
+        # pixel-heavy outlier (a flat screenshot) otherwise inflates
+        # every lane's place sweep.  Lane counts stay multiples of 16
+        # (XLA picks a transposed 18x-padded layout for (7, several-M)
+        # u32 temps otherwise).
         slots = [sz for sz, _ in items]
-        L = min(self.MAX_LANES, max(_round_up(len(items), 16), 16))
+        pxs = [px for _, px in items]
         gran = 8 * boundary.BLOCK  # lcm(BLOCK=128, kernel slab 512) x2
-        qb = _bucket_mult(
-            max(-(-sum(slots) // L), max(slots, default=1), gran), gran
-        )
-        while True:
-            try:
-                lanes = plan_lanes_balanced(slots, L, qb)
+        lmax = min(self.MAX_LANES, max(_round_up(len(items), 16), 16))
+        best = None
+        for L in (16, 32, 48, 64, 96, 128):
+            if L > lmax:
                 break
-            except ValueError:
-                qb = _bucket_mult(qb + 1, gran)
+            wts = [
+                (46 + 2.45 * L) * sz + 0.27 * L * px
+                for sz, px in items
+            ]
+            qb = _bucket_mult(
+                max(-(-sum(slots) // L), max(slots, default=1), gran), gran
+            )
+            while True:
+                try:
+                    cand = plan_lanes_balanced(slots, L, qb, wts)
+                    break
+                except ValueError:
+                    qb = _bucket_mult(qb + 1, gran)
+            ncap = _bucket_mult(
+                max((sum(pxs[i] for i in m) for m in cand if m), default=1),
+                place_kernel.WIN,
+            )
+            cost = (46 + 2.45 * L) * qb + 0.27 * L * ncap
+            if best is None or cost < best[0]:
+                best = (cost, cand, qb)
+        _, lanes, qb = best
+        # drop empty lanes (nonempty-first); only NONEMPTY lanes ride the
+        # transport — l_total keeps the device grid a multiple of 16 via
+        # on-device zero padding (see _decode_lanes)
+        lanes = [m for m in sorted(lanes, key=lambda m: -len(m)) if m]
+        l_ne = max(len(lanes), 1)
+        l_total = max(16, _round_up(l_ne, 16))
 
-        regions = np.zeros((L, qb + 8), np.uint8)
-        flags = np.zeros((L, qb + 8), np.uint8)
-        chunks_sizes = np.zeros(L, np.int32)
+        regions = np.zeros((l_ne, qb + 8), np.uint8)
+        seg_flat: List[int] = []
+        chunks_sizes = np.zeros(l_total, np.int32)
         # (stream idx) -> (lane, px_offset)
         where: List[Tuple[int, int]] = [(0, 0)] * len(arrs)
-        lane_px = np.zeros(L, np.int64)
+        lane_px = np.zeros(l_ne, np.int64)
         for Li, members in enumerate(lanes):
             boff = 0
             poff = 0
             for i in members:
                 sz, npx = items[i]
                 regions[Li, boff : boff + sz] = arrs[i][14 : 14 + sz]
-                flags[Li, boff] = 1
+                seg_flat.append(Li * qb + boff)  # lane-major: stays sorted
                 where[i] = (Li, poff)
                 boff += sz
                 poff += npx
@@ -199,7 +248,8 @@ class PackedDecoder:
             lane_px[Li] = poff
 
         n_cap = _bucket_mult(max(int(lane_px.max()), 1), place_kernel.WIN)
-        return regions, flags, chunks_sizes, where, descs, qb, n_cap
+        seg = np.asarray(seg_flat or [0], np.int32)
+        return regions, seg, chunks_sizes, where, descs, qb, n_cap, l_total
 
 
 # ---------------------------------------------------------------------------

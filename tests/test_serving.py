@@ -72,3 +72,28 @@ def test_all_packed_when_lanes_fit():
     streams = codec.encode([r for r, _ in corpus], [d for _, d in corpus])
     for (raw, d), s in zip(corpus, streams):
         assert np.array_equal(s, oracle.encode(raw, d)[0])
+
+
+def test_decode_tiered_packing():
+    # a corpus spanning >4x sizes with >= DEC_TIER_MIN members per class
+    # must split into multiple packed tiers, each decoding bit-exactly
+    rng = np.random.default_rng(7)
+    corpus = []
+    for k in range(20):  # small tier
+        d = Desc(12 + k % 3, 10, Channels.RGB)
+        corpus.append((rng.integers(0, 256, d.width * d.height * 3,
+                                    np.uint8), d))
+    for k in range(20):  # big tier (>4x the small sizes)
+        d = Desc(160, 120, Channels.RGBA)
+        pal = rng.integers(0, 256, (9, 4), np.uint8)
+        corpus.append((pal[rng.integers(0, 9, 160 * 120)].reshape(-1), d))
+    blobs = [oracle.encode(r, d)[0] for r, d in corpus]
+    codec = ServingCodec(min_len=1 << 12)
+    n, packed_parts, bucket_parts = codec.decode_dispatch(blobs)
+    assert not bucket_parts, "everything fits the packed engine"
+    assert len(packed_parts) >= 2, "size classes must tier"
+    covered = sorted(i for idxs, _ in packed_parts for i in idxs)
+    assert covered == list(range(len(blobs)))
+    got = codec.decode_finish((n, packed_parts, bucket_parts))
+    for (raw, d), g in zip(corpus, got):
+        assert np.array_equal(g, raw)

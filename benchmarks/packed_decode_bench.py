@@ -90,12 +90,11 @@ def main():
     sizes_d = jnp.asarray(sizes)
     jax.block_until_ready(packed_mod._decode_lanes(
         regions_d, seg_d, sizes_d, qb=qb, n_cap=n_cap, l_total=l_total))
-    t0 = time.perf_counter()
-    for _ in range(args.runs):
-        out = packed_mod._decode_lanes(
-            regions_d, seg_d, sizes_d, qb=qb, n_cap=n_cap, l_total=l_total)
-    jax.block_until_ready(out)
-    t_dev = (time.perf_counter() - t0) / args.runs
+    from qoipp_tpu.utils.timing import device_time_ms
+    fn = lambda r, s, c: packed_mod._decode_lanes(
+        r, s, c, qb=qb, n_cap=n_cap, l_total=l_total)
+    t_dev = device_time_ms(fn, regions_d, seg_d, sizes_d,
+                           runs=args.runs * 2) / 1e3
 
     print(f"packed: device {total_px/t_dev/1e6:.1f} MPix/s "
           f"({t_dev*1e3:.0f} ms, {L} lanes x {qb>>10} KB), "

@@ -137,3 +137,36 @@ def test_larger_image():
     ) % 30
     raw = base[ids]
     check_parity(raw.reshape(-1), desc)
+
+
+def test_encode_packed_chunked_matches_per_subbatch():
+    # the single-dispatch whole-batch encode (lax.map over sub-batches)
+    # must equal the per-sub-batch path and the oracle, bit-exactly
+    import jax.numpy as jnp
+
+    from qoipp_tpu import oracle
+    from qoipp_tpu.models.pipeline import BatchPipeline
+    from qoipp_tpu.ops.bitops import pixels_to_packed
+
+    rng = np.random.default_rng(17)
+    desc = Desc(48, 40, Channels.RGB)
+    raws, blobs = [], []
+    for i in range(6):
+        raw = (rng.integers(0, 5, 48 * 40 * 3) * 50).astype(np.uint8)
+        enc, complete = oracle.encode(raw, desc)
+        assert complete
+        raws.append(raw)
+        blobs.append(enc)
+    ml = max(b.size for b in blobs)
+    pipe = BatchPipeline(desc, max_stream_len=ml, max_encode_len=ml + 1024)
+    packed = jnp.stack(
+        [jnp.pad(pixels_to_packed(jnp.asarray(r), 3),
+                 (0, pipe.nb - pipe.n_px)) for r in raws]
+    )
+    out, lengths, ok = pipe.encode_packed_chunked(packed, sub=2)
+    assert bool(jnp.all(ok))
+    for i in range(6):
+        assert int(lengths[i]) == blobs[i].size
+        assert np.array_equal(np.asarray(out[i, : blobs[i].size]), blobs[i])
+    with pytest.raises(ValueError):
+        pipe.encode_packed_chunked(packed, sub=4)  # 6 % 4 != 0

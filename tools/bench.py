@@ -14,6 +14,8 @@ Codecs benchmarked:
   jax-batch  batched device pipeline (all images in one device program)
   stream     native streaming codec driven with a 64 KiB buffer
   png        Pillow PNG (the reference benches stb/fpng the same way)
+  serving    composite device front-end (size-tiered packed lanes +
+             bucketed batches; decode timed to HBM-resident completion)
 
 Corpus: a directory of .qoi (and .png, if Pillow is present) files, or a
 generated synthetic corpus with --synthetic N.
@@ -134,7 +136,7 @@ def main(argv=None):
     p.add_argument("--no-encode", action="store_true")
     p.add_argument("--no-decode", action="store_true")
     p.add_argument("--only-totals", action="store_true")
-    for c in ("native", "jax", "jax-batch", "stream", "png"):
+    for c in ("native", "jax", "jax-batch", "stream", "png", "serving"):
         p.add_argument(f"--no-{c}", action="store_true")
     args = p.parse_args(argv)
     if not args.corpus and not args.synthetic:
@@ -293,6 +295,56 @@ def main(argv=None):
             te = timed(run_enc, args.runs, warmup)
         print(fmt_row([
             "TOTAL", "jax-batch",
+            f"{te*1e3:.2f}" if te == te else "-",
+            f"{td*1e3:.2f}" if td == td else "-",
+            f"{n_total/te/1e6:.1f}" if te == te else "-",
+            f"{n_total/td/1e6:.1f}" if td == td else "-",
+            "-", "-", "-", "-"]))
+
+    # composite serving codec (mixed geometries: size-tiered packed lanes
+    # + bucketed batches behind ONE front-end; 04_bench's multi-codec
+    # table analog for the device engines) --------------------------------
+    if not getattr(args, "no_serving"):
+        from qoipp_tpu.models.serving import ServingCodec
+
+        codec = ServingCodec()
+        blobs = [oracle.encode(r, d)[0] for _, r, d in images]
+        n_total = sum(d.width * d.height for _, _, d in images)
+        td = te = float("nan")
+        if not args.no_decode:
+            if not args.no_verify:
+                got = codec.decode(blobs)
+                for (_, r, _), g in zip(images, got):
+                    if not np.array_equal(g, r):
+                        print("serving decode VERIFY FAILED", file=sys.stderr)
+                        return 1
+
+            def run_sdec():
+                # HBM-resident completion; fetch is the transport's cost
+                plan = codec.decode_dispatch(blobs)
+                for _, (dev, _, _) in plan[1]:
+                    np.asarray(dev[0, 0])
+                for _, _, sub in plan[2]:
+                    for _, dev in sub:
+                        np.asarray(dev[0, 0])
+
+            td = timed(run_sdec, args.runs, warmup)
+        if not args.no_encode:
+            raws = [r for _, r, _ in images]
+            descs2 = [d for _, _, d in images]
+            if not args.no_verify:
+                got = codec.encode(raws, descs2)
+                for g, b_ in zip(got, blobs):
+                    if not np.array_equal(g, b_):
+                        print("serving encode VERIFY FAILED", file=sys.stderr)
+                        return 1
+
+            def run_senc():
+                codec.encode(raws, descs2)
+
+            te = timed(run_senc, args.runs, warmup)
+        print(fmt_row([
+            "TOTAL", "serving",
             f"{te*1e3:.2f}" if te == te else "-",
             f"{td*1e3:.2f}" if td == td else "-",
             f"{n_total/te/1e6:.1f}" if te == te else "-",

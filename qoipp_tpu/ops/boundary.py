@@ -72,7 +72,7 @@ def chunk_starts_batch(regions):
         nxt = jnp.where(carry > 0, carry - 1, (lens_col - 1)[:, None, :])
         return nxt, None
 
-    block_map, _ = jax.lax.scan(step_map, ident, lens_t, unroll=16)
+    block_map, _ = jax.lax.scan(step_map, ident, lens_t, unroll=32)
 
     # Stage B: exclusive composition across blocks (f then g => g[f[phi]]),
     # one-hot select over the 5 sublane rows (no gathers).
@@ -93,7 +93,7 @@ def chunk_starts_batch(regions):
         nxt = jnp.where(phi > 0, phi - 1, lens_col - 1)
         return nxt, phi
 
-    _, phases = jax.lax.scan(step_phase, entry_phase, lens_t, unroll=16)
+    _, phases = jax.lax.scan(step_phase, entry_phase, lens_t, unroll=32)
     # phases: (BLOCK, B, nblk) -> (B, Qb)
     return phases.transpose(1, 2, 0).reshape(b, qb) == 0
 

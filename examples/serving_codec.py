@@ -10,9 +10,12 @@ cannot serve both well on a TPU:
   * length-bucketed batching (models/scheduler.py) — uniform-geometry
     batches of mid/large streams at tight per-bucket caps.
 
-This example routes a mixed corpus through both and verifies every
-stream against the native oracle.  Run anywhere (CPU works; kernels run
-in interpret mode off-TPU):
+This example routes a mixed corpus through both BY HAND to show the
+mechanics; the PRODUCTION form is the package component
+`qoipp_tpu.models.serving.ServingCodec` (size-tiered packed plans +
+bucketed fallback behind one front-end — use that in real deployments).
+Every stream verifies against the native oracle.  Run anywhere (CPU
+works; kernels run in interpret mode off-TPU):
 
     python examples/serving_codec.py
 """

@@ -52,9 +52,15 @@ SLAB = 128          # chunk rows per slab (dynamic sublane slices need
 # that measured slower overall)
 TRANCHE = 16        # slabs per DMA tranche (content-proportional fetch)
 LENR = 5 * WIN // SLAB + 24   # candidate slabs per step (worst case + align)
-LENR_BUF = -(-LENR // TRANCHE) * TRANCHE  # scratch rows: LENR rounded to
-# the tranche grid (the tranche DMA loop writes whole tranches; a buffer
-# sized exactly LENR overflows when need == LENR -- OOB VMEM write)
+FETCH_PAD = 8       # extra slabs fetched so the compute loop can run in
+# whole 8-slab groups with NO dynamic tail trips: rows past the span are
+# fresh HBM rows whose pb >= the next window start (pb is nondecreasing),
+# so the in-window mask kills them — but they must be FRESH, not stale
+# VMEM from an earlier window (stale pb could land in-window: silent
+# corruption that interpret mode would not catch)
+LENR_BUF = -(-(LENR + FETCH_PAD) // TRANCHE) * TRANCHE  # scratch rows
+# rounded to the tranche grid (the tranche DMA loop writes whole
+# tranches; an exactly-sized buffer overflows when need == cap)
 
 
 def _flat_shift(x, k):
@@ -75,11 +81,14 @@ def _place_fill_kernel(base_ref, pb_hbm, emit_hbm, out_ref,
         """(aligned first slab, offset, #slabs to fetch) for window ss —
         from the base array alone (nsteps+1 entries), so fetch size
         tracks actual content (the worst-case LENR is a 30-40x overfetch
-        on compressed streams)."""
+        on compressed streams).  FETCH_PAD extra rows keep every row the
+        whole-group compute loop touches fresh."""
         b0 = base_ref[bb, ss]
         ba = (b0 // 8) * 8
         lr = b0 - ba
-        need = jnp.minimum(lr + base_ref[bb, ss + 1] - b0 + 3, LENR)
+        need = jnp.minimum(
+            lr + base_ref[bb, ss + 1] - b0 + 3 + FETCH_PAD, LENR + FETCH_PAD
+        )
         return ba, lr, need
 
     def issue(slot, bb, ss):
@@ -131,8 +140,8 @@ def _place_fill_kernel(base_ref, pb_hbm, emit_hbm, out_ref,
         issue(1 - slot, b, s + 1)
 
     w0 = s * WIN
-    _, lr, need = _span(b, s)
-    n = jnp.minimum(need - lr - 2, LENR - 1 - lr)
+    _, lr, _ = _span(b, s)
+    n = jnp.minimum(base_ref[b, s + 1] - base_ref[b, s] + 1, LENR - 1 - lr)
 
     stripe_ids = jax.lax.broadcasted_iota(jnp.int32, (SW, 128), 0)
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 1)
@@ -161,8 +170,11 @@ def _place_fill_kernel(base_ref, pb_hbm, emit_hbm, out_ref,
             a, bm_t, (((1,), (1,)), ((), ())),
             precision="default", preferred_element_type=jnp.float32)
 
-    # full groups of 8 slabs: ONE load, static in-group slices (cheapest
-    # per-slab form); the <8-slab tail falls back to dynamic trips
+    # whole groups of 8 slabs ONLY: ONE load + static in-group slices per
+    # group (a dynamic-offset trip costs ~3x a static slice).  The final
+    # group may read past the content span — those rows are fresh-fetched
+    # (FETCH_PAD) rows of LATER slabs whose pb is >= the next window's
+    # start, so the in-window mask zeroes them exactly.
     G = 8
 
     def group(g, acc):
@@ -177,16 +189,8 @@ def _place_fill_kernel(base_ref, pb_hbm, emit_hbm, out_ref,
             acc = _slab(pbg[k : k + 1], nxtr, emg[k : k + 1], acc)
         return acc
 
-    def trip(rr, acc):
-        pbr2 = pb_buf[slot, pl.ds(lr + rr, 2), :]  # rows r, r+1
-        rolled = pltpu.roll(pbr2, 127, axis=1)
-        nxtr = jnp.where(lane1[0:1] < 127, rolled[0:1], rolled[1:2])
-        vr = pltpu.bitcast(em_buf[slot, pl.ds(lr + rr, 1), :], jnp.int32)
-        return _slab(pbr2[0:1], nxtr, vr, acc)
-
     acc = jnp.zeros((4 * SW, 128), jnp.float32)
-    acc = jax.lax.fori_loop(0, n // G, group, acc)
-    acc = jax.lax.fori_loop((n // G) * G, n, trip, acc)
+    acc = jax.lax.fori_loop(0, (n + G - 1) // G, group, acc)
 
     b0f = acc[:SW].astype(jnp.int32)
     b1f = acc[SW : 2 * SW].astype(jnp.int32)

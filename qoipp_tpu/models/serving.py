@@ -35,6 +35,28 @@ from .packed import PackedDecoder, PackedEncoder
 from .scheduler import BucketedCodec
 
 
+def _size_tiers(idxs: Sequence[int], size: Dict[int, int], span: int,
+                min_streams: int) -> List[List[int]]:
+    """Greedy size tiers: descending by size, cut a new tier when the
+    next member is > span smaller than the tier's largest AND the tier
+    already has min_streams members (a dispatch costs ~45 ms); a tiny
+    trailing tier merges into its predecessor."""
+    order = sorted(idxs, key=lambda i: -size[i])
+    tiers: List[List[int]] = []
+    t0 = 0
+    for i in order:
+        if (tiers and size[i] * span >= t0) or (
+            tiers and len(tiers[-1]) < min_streams
+        ):
+            tiers[-1].append(i)
+        else:
+            tiers.append([i])
+            t0 = size[i]
+    if len(tiers) >= 2 and len(tiers[-1]) < min_streams // 2:
+        tiers[-2].extend(tiers.pop())
+    return tiers
+
+
 class ServingCodec:
     """Mixed-corpus QOI codec over the packed + bucketed engines.
 
@@ -123,19 +145,8 @@ class ServingCodec:
             i: max(arrs[i].size - 22, descs[i].width * descs[i].height)
             for i in packable
         }
-        order = sorted(packable, key=lambda i: -t[i])
-        tiers: List[List[int]] = []
-        t0 = 0
-        for i in order:
-            if (tiers and t[i] * self.DEC_TIER_SPAN >= t0) or (
-                tiers and len(tiers[-1]) < self.DEC_TIER_MIN
-            ):
-                tiers[-1].append(i)
-            else:
-                tiers.append([i])
-                t0 = t[i]
-        if len(tiers) >= 2 and len(tiers[-1]) < self.DEC_TIER_MIN // 2:
-            tiers[-2].extend(tiers.pop())
+        tiers = _size_tiers(packable, t, self.DEC_TIER_SPAN,
+                            self.DEC_TIER_MIN)
         # Per-tier pack -> upload -> dispatch: measured FASTER than
         # staging all uploads first (68 vs 53 MPix/s serve on the real
         # corpus — the tunnel serializes transfers either way, and the
@@ -204,11 +215,15 @@ class ServingCodec:
             i for i, d in enumerate(descs)
             if d.width * d.height + 2 <= self._enc_pack.lane_px
         ]
-        if packable:
+        # same size-tiering as decode (pixels drive every encode-lane
+        # cost: slots, chunk caps, byte caps)
+        t = {i: descs[i].width * descs[i].height for i in packable}
+        for tier in _size_tiers(packable, t, self.DEC_TIER_SPAN,
+                                self.DEC_TIER_MIN):
             got = self._enc_pack.encode(
-                [raws[i] for i in packable], [descs[i] for i in packable]
+                [raws[i] for i in tier], [descs[i] for i in tier]
             )
-            for i, stream in zip(packable, got):
+            for i, stream in zip(tier, got):
                 results[i] = stream
 
         rest = [i for i in range(len(raws)) if results[i] is None]

@@ -97,3 +97,25 @@ def test_decode_tiered_packing():
     got = codec.decode_finish((n, packed_parts, bucket_parts))
     for (raw, d), g in zip(corpus, got):
         assert np.array_equal(g, raw)
+
+
+def test_serving_edge_inputs():
+    codec = ServingCodec()
+    # empty submission
+    assert codec.decode([]) == []
+    assert codec.encode([], []) == []
+    # single stream
+    d = Desc(9, 7, Channels.RGB)
+    raw = np.arange(9 * 7 * 3, dtype=np.uint8)
+    blob = oracle.encode(raw, d)[0]
+    got = codec.decode([blob])
+    assert len(got) == 1 and np.array_equal(got[0], raw)
+    # duplicates keep submission order
+    got = codec.decode([blob, blob, blob])
+    assert all(np.array_equal(g, raw) for g in got)
+    enc = codec.encode([raw, raw], [d, d])
+    assert all(np.array_equal(e, blob) for e in enc)
+    # mismatched lengths raise
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        codec.encode([raw], [d, d])

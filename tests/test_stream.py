@@ -61,33 +61,112 @@ def drive_decode(dec, data, desc, buf_size, target=None):
     return d, np.frombuffer(bytes(result), np.uint8)[:expected]
 
 
-@pytest.mark.parametrize("buf_size", list(range(5, 64)) + [97, 128, 333, 1024])
-def test_encode_sweep_rgb(raw3, qoi3, buf_size):
+# Exhaustive buffer-size sweep 5..1024 inclusive — EVERY size, like the
+# reference (test/source/stream_test.cpp:192-252).  Banded into ranges of
+# 64 sizes per pytest case so a failure localizes to a narrow band while
+# the collected-case count stays sane (the codec is native-backed, so the
+# full sweep costs seconds).
+_BANDS = [
+    (lo, min(lo + 64, 1025)) for lo in range(5, 1025, 64)
+]
+
+
+def _drive_decode_incomplete(dec, data, buf_size, target=None):
+    """Reference incomplete-input driver (stream_test.cpp:243-252 via
+    :81-123): feed the truncated stream minus the last 8 bytes (the
+    driver always reserves end_marker_size), drain pending runs, return
+    whatever was produced WITHOUT trimming to the full image size."""
+    data = np.asarray(data, np.uint8)
+    dec.initialize(data[:14], target).value()
+    out = np.zeros(buf_size, np.uint8)
+    result = bytearray()
+    consumed = 14
+    end = data.size - 8
+    while consumed < end:
+        chunk = data[consumed : consumed + buf_size]
+        r = dec.decode(out, chunk).value()
+        result += out[: r.written].tobytes()
+        consumed += r.processed
+        if r.processed == 0 and r.written == 0:
+            break
+    while dec.has_run_count():
+        n = dec.drain_run(out).value()
+        result += out[:n].tobytes()
+    dec.reset()
+    return np.frombuffer(bytes(result), np.uint8)
+
+
+@pytest.mark.parametrize("band", _BANDS, ids=lambda b: f"{b[0]}-{b[1]-1}")
+def test_encode_sweep_rgb(raw3, qoi3, band):
     enc = q.StreamEncoder()
-    got = drive_encode(enc, raw3, DESC3, buf_size)
-    assert np.array_equal(got, qoi3), f"buf={buf_size}"
+    for buf_size in range(*band):
+        got = drive_encode(enc, raw3, DESC3, buf_size)
+        assert np.array_equal(got, qoi3), f"buf={buf_size}"
 
 
-@pytest.mark.parametrize("buf_size", list(range(5, 64)) + [97, 128, 333, 1024])
-def test_encode_sweep_rgba(raw4, qoi4, buf_size):
+@pytest.mark.parametrize("band", _BANDS, ids=lambda b: f"{b[0]}-{b[1]-1}")
+def test_encode_sweep_rgba(raw4, qoi4, band):
     enc = q.StreamEncoder()
-    got = drive_encode(enc, raw4, DESC4, buf_size)
-    assert np.array_equal(got, qoi4), f"buf={buf_size}"
+    for buf_size in range(*band):
+        got = drive_encode(enc, raw4, DESC4, buf_size)
+        assert np.array_equal(got, qoi4), f"buf={buf_size}"
 
 
-@pytest.mark.parametrize("buf_size", list(range(5, 64)) + [97, 128, 333, 1024])
-def test_decode_sweep_rgb(raw3, qoi3, buf_size):
+@pytest.mark.parametrize("band", _BANDS, ids=lambda b: f"{b[0]}-{b[1]-1}")
+def test_decode_sweep_rgb(raw3, qoi3, band):
     dec = q.StreamDecoder()
-    d, got = drive_decode(dec, qoi3, DESC3, buf_size)
-    assert d == DESC3
-    assert np.array_equal(got, raw3), f"buf={buf_size}"
+    raw3_rgba = np.concatenate(
+        [raw3.reshape(-1, 3),
+         np.full((raw3.size // 3, 1), 255, np.uint8)], axis=1
+    ).reshape(-1)
+    for buf_size in range(*band):
+        d, got = drive_decode(dec, qoi3, DESC3, buf_size)
+        assert d == DESC3
+        assert np.array_equal(got, raw3), f"buf={buf_size}"
+        # target-conversion sweeps (stream_test.cpp:215-241)
+        _, got_rgb = drive_decode(dec, qoi3, DESC3, buf_size,
+                                  target=q.Channels.RGB)
+        assert np.array_equal(got_rgb, raw3), f"buf={buf_size} ->RGB"
+        _, got_rgba = drive_decode(dec, qoi3, DESC3, buf_size,
+                                   target=q.Channels.RGBA)
+        assert np.array_equal(got_rgba, raw3_rgba), f"buf={buf_size} ->RGBA"
 
 
-@pytest.mark.parametrize("buf_size", list(range(5, 64)) + [97, 128, 333, 1024])
-def test_decode_sweep_rgba(raw4, qoi4, buf_size):
+@pytest.mark.parametrize("band", _BANDS, ids=lambda b: f"{b[0]}-{b[1]-1}")
+def test_decode_sweep_rgba(raw4, qoi4, band):
     dec = q.StreamDecoder()
-    d, got = drive_decode(dec, qoi4, DESC4, buf_size)
-    assert np.array_equal(got, raw4), f"buf={buf_size}"
+    raw4_rgb = np.ascontiguousarray(
+        raw4.reshape(-1, 4)[:, :3]
+    ).reshape(-1)
+    for buf_size in range(*band):
+        d, got = drive_decode(dec, qoi4, DESC4, buf_size)
+        assert np.array_equal(got, raw4), f"buf={buf_size}"
+        _, got_rgba = drive_decode(dec, qoi4, DESC4, buf_size,
+                                   target=q.Channels.RGBA)
+        assert np.array_equal(got_rgba, raw4), f"buf={buf_size} ->RGBA"
+        _, got_rgb = drive_decode(dec, qoi4, DESC4, buf_size,
+                                  target=q.Channels.RGB)
+        assert np.array_equal(got_rgb, raw4_rgb), f"buf={buf_size} ->RGB"
+
+
+@pytest.mark.parametrize("band", _BANDS, ids=lambda b: f"{b[0]}-{b[1]-1}")
+def test_decode_sweep_incomplete_rgb(raw3, qoi3_incomplete, band):
+    # incomplete input still decodes a strict prefix at EVERY buffer size
+    # (stream_test.cpp:243-252)
+    dec = q.StreamDecoder()
+    for buf_size in range(*band):
+        got = _drive_decode_incomplete(dec, qoi3_incomplete, buf_size)
+        assert got.size < raw3.size, f"buf={buf_size}"
+        assert np.array_equal(got, raw3[: got.size]), f"buf={buf_size}"
+
+
+@pytest.mark.parametrize("band", _BANDS, ids=lambda b: f"{b[0]}-{b[1]-1}")
+def test_decode_sweep_incomplete_rgba(raw4, qoi4_incomplete, band):
+    dec = q.StreamDecoder()
+    for buf_size in range(*band):
+        got = _drive_decode_incomplete(dec, qoi4_incomplete, buf_size)
+        assert got.size < raw4.size, f"buf={buf_size}"
+        assert np.array_equal(got, raw4[: got.size]), f"buf={buf_size}"
 
 
 def test_decoder_reuse_across_images(qoi3, raw3, qoi4, raw4):

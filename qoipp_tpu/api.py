@@ -112,7 +112,35 @@ def _materialize_gen(gen: Callable[[int], Pixel], desc: Desc) -> np.ndarray:
 # itself is 3-9x the oracle when transport is amortized (BASELINE.md).
 # Reference analog: the measured checked/unchecked dispatch predicate,
 # source/simple.cpp:249-251.
+#
+# Configure per-deployment with set_oneshot_device_threshold() or the
+# QOIPP_TPU_ONESHOT_DEVICE_THRESHOLD environment variable (empty/"none"
+# = never device-route one-shot calls).
 ONESHOT_DEVICE_THRESHOLD: Optional[int] = None
+
+
+def set_oneshot_device_threshold(n_pixels: Optional[int]) -> None:
+    """Set the one-shot auto-routing threshold: images with at least
+    ``n_pixels`` pixels route to the device under ``backend='auto'``;
+    ``None`` routes every one-shot call native (the measured right call
+    for remote-tunnel transports; co-located PCIe hosts want ~2**18)."""
+    global ONESHOT_DEVICE_THRESHOLD
+    if n_pixels is not None and n_pixels < 0:
+        raise ValueError("threshold must be a nonnegative pixel count or None")
+    ONESHOT_DEVICE_THRESHOLD = n_pixels
+
+
+def _env_threshold() -> Optional[int]:
+    raw = os.environ.get("QOIPP_TPU_ONESHOT_DEVICE_THRESHOLD")
+    if raw is None or raw.strip().lower() in ("", "none"):
+        return None
+    return int(raw)
+
+
+try:
+    ONESHOT_DEVICE_THRESHOLD = _env_threshold()
+except ValueError:
+    ONESHOT_DEVICE_THRESHOLD = None
 
 
 def _resolve_backend(backend: str, n_pixels: int) -> str:

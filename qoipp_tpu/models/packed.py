@@ -181,6 +181,16 @@ class PackedDecoder:
                     f"{self.lane_bytes}; raise lane_bytes or route the "
                     "stream to the batched pipeline"
                 )
+            if sz < 1:
+                # A parseable header with no body bytes would repeat the
+                # previous seg_flat index, breaking the sorted/unique
+                # scatter invariants of _decode_lanes (a false
+                # indices_are_sorted hint miscompiles on TPU while passing
+                # CPU/interpret tests — CLAUDE.md).  Reject up front.
+                raise ValueError(
+                    f"stream of {sz} body bytes is truncated (total "
+                    "size <= header + end marker); not a decodable stream"
+                )
         # Lane-plan search with the measured decode cost model (ns, round
         # 3, BASELINE.md stage profile): replay is sequential in the lane
         # DEPTH qb (~46/byte-step); boundary+fields+H2D sweep every
@@ -223,10 +233,14 @@ class PackedDecoder:
         _, lanes, qb = best
         # drop empty lanes (nonempty-first); only NONEMPTY lanes ride the
         # transport — l_total keeps the device grid a multiple of 16 via
-        # on-device zero padding (see _decode_lanes)
+        # on-device zero padding (see _decode_lanes).  The uploaded lane
+        # count itself buckets to a multiple of 8 (zero host lanes): the
+        # regions shape is a compile shape, and heterogeneous corpora
+        # would otherwise retrace per distinct nonempty-lane count (~30 s
+        # each through the axon tunnel) for <= 7 lanes of upload padding.
         lanes = [m for m in sorted(lanes, key=lambda m: -len(m)) if m]
-        l_ne = max(len(lanes), 1)
-        l_total = max(16, _round_up(l_ne, 16))
+        l_total = max(16, _round_up(max(len(lanes), 1), 16))
+        l_ne = min(_round_up(max(len(lanes), 1), 8), l_total)
 
         regions = np.zeros((l_ne, qb + 8), np.uint8)
         seg_flat: List[int] = []

@@ -200,3 +200,21 @@ def test_encode_generator_vectorized(raw3, qoi3):
         return out  # alpha 0 — RGB encode forces 0xFF
 
     assert np.array_equal(q.encode(gen, DESC3).value(), qoi3)
+
+
+def test_oneshot_threshold_configuration(monkeypatch):
+    # Deployment-facing threshold config (co-located PCIe hosts opt into
+    # device routing without monkeypatching module internals).
+    from qoipp_tpu import api
+
+    api.set_oneshot_device_threshold(1 << 18)
+    assert api.ONESHOT_DEVICE_THRESHOLD == 1 << 18
+    api.set_oneshot_device_threshold(None)
+    assert api.ONESHOT_DEVICE_THRESHOLD is None
+    with pytest.raises(ValueError):
+        api.set_oneshot_device_threshold(-1)
+
+    monkeypatch.setenv("QOIPP_TPU_ONESHOT_DEVICE_THRESHOLD", "262144")
+    assert api._env_threshold() == 262144
+    monkeypatch.setenv("QOIPP_TPU_ONESHOT_DEVICE_THRESHOLD", "none")
+    assert api._env_threshold() is None

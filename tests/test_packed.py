@@ -73,6 +73,38 @@ def test_packed_decode_mixed_streams_bit_exact():
         assert np.array_equal(got[i], raw), f"stream {i} ({desc})"
 
 
+def test_packed_decode_rejects_truncated_stream():
+    # A parseable header with no body bytes must be rejected up front —
+    # an sz <= 0 item would repeat a seg_flat index and break the sorted/
+    # unique scatter invariants of _decode_lanes (silent corruption on
+    # TPU, where a false indices_are_sorted hint miscompiles).
+    from qoipp_tpu.common import write_header
+
+    good_raw = np.full(12, 7, np.uint8)
+    good, _ = oracle.encode(good_raw, Desc(2, 2, Channels.RGB))
+    truncated = np.frombuffer(
+        write_header(Desc(2, 2, Channels.RGB)) + b"\x00" * 8, np.uint8
+    )
+    dec = PackedDecoder()
+    with pytest.raises(ValueError, match="truncated"):
+        dec.decode([good, truncated])
+
+
+def test_packed_decode_lane_count_buckets_to_8():
+    # The uploaded regions' leading dim must bucket to a multiple of 8
+    # so heterogeneous corpora keep a bounded compile-shape set.
+    rng = np.random.default_rng(5)
+    blobs = []
+    for k in range(9):  # an awkward count: 9 nonempty lanes -> pad to 16
+        desc = Desc(64, 64, Channels.RGB)
+        raw = rng.integers(0, 256, 64 * 64 * 3, np.uint8)
+        enc, _ = oracle.encode(raw, desc)
+        blobs.append(enc)
+    dec = PackedDecoder(lane_bytes=1 << 19)
+    regions, *_ = dec.plan_and_pack(blobs)
+    assert regions.shape[0] % 8 == 0
+
+
 def test_packed_decode_many_tiny_streams_one_lane():
     # dozens of tiny streams share lanes; every boundary is a reset
     rng = np.random.default_rng(3)

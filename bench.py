@@ -209,22 +209,31 @@ def main():
     log(f"corpus: {B} x {W}x{H} RGB, stream sizes {min(stream_sizes)}..{max(stream_sizes)}")
 
     # ---- baseline: native oracle (reference-equivalent C++) --------------
+    # Single-thread oracle timings swing +-20-40% with ANY concurrent host
+    # work on this one-core host (CLAUDE.md); the baseline protocol is
+    # therefore BEST-of-N (minimum time = the quiet-run number), which is
+    # stable round-over-round where an average is polluted by load spikes.
     for blob in blobs[:1]:
         oracle.decode(blob, desc, desc.channels)  # warm
-    t0 = time.perf_counter()
-    runs_base = 2
+    runs_base = 3
+    t_base = float("inf")
     for _ in range(runs_base):
+        t0 = time.perf_counter()
         for blob in blobs:
             oracle.decode(blob, desc, desc.channels)
-    t_base = (time.perf_counter() - t0) / runs_base
+        t_base = min(t_base, time.perf_counter() - t0)
     base_mpix = total_px / t_base / 1e6
-    log(f"oracle decode: {t_base*1e3:.1f} ms/batch = {base_mpix:.1f} MPix/s")
-    t0 = time.perf_counter()
-    for blob_raw in raws[:8]:
-        oracle.encode(blob_raw, desc)
-    t_enc_base = (time.perf_counter() - t0) / 8 * B
+    log(f"oracle decode: {t_base*1e3:.1f} ms/batch = {base_mpix:.1f} MPix/s "
+        f"(best of {runs_base} quiet runs)")
+    t_enc_base = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for blob_raw in raws[:8]:
+            oracle.encode(blob_raw, desc)
+        t_enc_base = min(t_enc_base, (time.perf_counter() - t0) / 8 * B)
     log(f"oracle encode: {t_enc_base*1e3:.1f} ms/batch = "
-        f"{total_px/t_enc_base/1e6:.1f} MPix/s (production encode path)")
+        f"{total_px/t_enc_base/1e6:.1f} MPix/s (production encode path, "
+        "best of 2)")
 
     # ---- device: batched pipeline ----------------------------------------
     dev_mpix, enc_mpix, ok = bench_device(desc, raws, blobs, dev, label="RGB")

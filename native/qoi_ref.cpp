@@ -613,5 +613,96 @@ u64 qoiref_pack_files(const char** paths, u64 n, u8* out, u64 row,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Chunk-walk split planner — host-side planning for the device SPLIT-replay
+// engine (one over-cap stream's chunk field spread across replay lanes).
+//
+// Walks the chunk sequence of a QOI body (bytes after the 14-byte header;
+// chunks_size = stream size - 22), accumulating per-chunk cost
+//   cost = byte_w * chunk_bytes + px_w * pixels_produced
+// and cuts a segment boundary (always ON a chunk boundary — the property
+// that keeps the device boundary pass's phase algebra exact per lane) each
+// time the running cost crosses the next multiple of total/n_segments.
+//
+// offsets_out/px_out have capacity n_segments + 1; entry 0 = (0, 0), entry
+// k = (byte offset, pixel offset) of segment k's first chunk, final entry =
+// (chunks_size, total pixels).  Returns the number of segments produced
+// (<= n_segments; empty segments are never emitted).
+//
+// The walk itself is the sequential part the reference does per-pixel
+// (source/simple.cpp:111-170); here it is tag-dispatch only (~1 ns/chunk),
+// done ONCE per stream on host — the pixel reconstruction stays on device.
+// ---------------------------------------------------------------------------
+
+u64 qoiref_split_points(const u8* body, u64 chunks_size, u64 n_px,
+                        u64 n_segments, double byte_w, double px_w,
+                        u64* offsets_out, u64* px_out) {
+  if (n_segments == 0) return 0;
+  auto chunk_len = [](u8 tag) -> u64 {
+    if (tag == TAG_RGB) return 4;
+    if (tag == TAG_RGBA) return 5;
+    if ((tag & 0xC0) == TAG_LUMA) return 2;
+    return 1;  // INDEX / DIFF / RUN
+  };
+  auto chunk_px = [](u8 tag) -> u64 {
+    if (tag != TAG_RGB && tag != TAG_RGBA && (tag & 0xC0) == TAG_RUN)
+      return (u64)(tag & 0x3F) + 1;
+    return 1;
+  };
+  // pass 1: total cost (pixels clamped to what the image still owes,
+  // mirroring the decoder's RUN clamp, reference simple.cpp:156-163)
+  double total = 0.0;
+  {
+    u64 pos = 0, px = 0;
+    while (pos < chunks_size) {
+      const u8 tag = body[pos];
+      const u64 len = chunk_len(tag);
+      u64 npx = chunk_px(tag);
+      if (px + npx > n_px) npx = (n_px > px) ? n_px - px : 0;
+      total += byte_w * (double)len + px_w * (double)npx;
+      pos += len;
+      px += npx;
+    }
+  }
+  if (total <= 0.0) {  // empty body: one trivial segment
+    offsets_out[0] = 0;
+    px_out[0] = 0;
+    offsets_out[1] = chunks_size;
+    px_out[1] = 0;
+    return 1;
+  }
+  const double step = total / (double)n_segments;
+  // pass 2: cut at cost thresholds
+  u64 nseg = 0;     // segments closed so far
+  u64 next_k = 1;   // next threshold index to cross
+  offsets_out[0] = 0;
+  px_out[0] = 0;
+  double acc = 0.0;
+  u64 pos = 0, px = 0;
+  while (pos < chunks_size) {
+    const u8 tag = body[pos];
+    const u64 len = chunk_len(tag);
+    u64 npx = chunk_px(tag);
+    if (px + npx > n_px) npx = (n_px > px) ? n_px - px : 0;
+    acc += byte_w * (double)len + px_w * (double)npx;
+    pos += len;
+    px += npx;
+    if (pos < chunks_size && next_k < n_segments &&
+        acc >= step * (double)next_k) {
+      // crossed threshold(s): the NEXT chunk starts a new segment
+      ++nseg;
+      offsets_out[nseg] = pos;
+      px_out[nseg] = px;
+      // skip every threshold this chunk already passed so one giant
+      // chunk never spawns a cascade of near-empty segments
+      while (next_k < n_segments && acc >= step * (double)next_k) ++next_k;
+    }
+  }
+  ++nseg;
+  offsets_out[nseg] = chunks_size;
+  px_out[nseg] = px;
+  return nseg;
+}
+
 }  // extern "C"
 

@@ -151,6 +151,12 @@ def _load() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_uint64,
             _u8p, ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint64),
         ]
+        lib.qoiref_split_points.restype = ctypes.c_uint64
+        lib.qoiref_split_points.argtypes = [
+            _u8p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64,
+            ctypes.c_double, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+        ]
 
         _lib = lib
         return lib
@@ -261,6 +267,28 @@ class NativeStreamState:
 
     def target(self) -> int:
         return int(self._lib.qoiref_dec_target(self._blob))
+
+
+def split_points(body, n_px: int, n_segments: int,
+                 byte_w: float = 1.0, px_w: float = 0.0):
+    """Walk a QOI body's chunk sequence (bytes after the header, length
+    stream_size - 22) and return (byte_offsets, px_offsets): n+1-entry
+    arrays of cost-balanced segment boundaries, every one ON a chunk
+    boundary.  Cost per chunk = byte_w * bytes + px_w * pixels.  The
+    host-side planner of the device split-replay engine (one over-cap
+    stream's chunk field spread across replay lanes)."""
+    lib = _load()
+    arr = _np_u8(body)
+    offs = np.zeros(n_segments + 1, dtype=np.uint64)
+    pxs = np.zeros(n_segments + 1, dtype=np.uint64)
+    n = lib.qoiref_split_points(
+        _ptr(arr), arr.size, n_px, n_segments,
+        ctypes.c_double(byte_w), ctypes.c_double(px_w),
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        pxs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+    )
+    n = int(n)
+    return offs[: n + 1].astype(np.int64), pxs[: n + 1].astype(np.int64)
 
 
 def pack_files(paths, row: int):

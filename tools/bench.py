@@ -155,25 +155,43 @@ def main(argv=None):
     except ImportError:
         codecs = [c for c in codecs if c != "png"]
 
-    # verification pass (04_bench.cpp:685-731 analog)
+    # verification pass: the full enc x dec CROSS MATRIX before timing —
+    # every codec's encoded bytes decoded by EVERY codec's decoder, both
+    # compared to the raw pixels (04_bench.cpp:685-731 verifies enc(A)->
+    # dec(B) and enc(B)->dec(A) in both directions the same way).
     if not args.no_verify:
+        qoi_codecs = [c for c in codecs if c != "png"]
+
+        def enc_with(c, raw, desc):
+            if c == "native":
+                out, complete = oracle.encode(raw, desc)
+                assert complete
+                return out
+            if c == "jax":
+                return q.encode(raw, desc, backend="jax").value()
+            return drive_stream_encode(raw, desc)
+
+        def dec_with(c, blob, desc):
+            if c == "native":
+                return oracle.decode(blob, desc, desc.channels)
+            if c == "jax":
+                return q.decode(blob, backend="jax").value().data
+            return drive_stream_decode(blob, desc)
+
         for name, raw, desc in images:
-            want, complete = oracle.encode(raw, desc)
-            assert complete
-            for c in codecs:
-                if c in ("native", "png"):
-                    continue
-                if c == "jax":
-                    got = q.encode(raw, desc, backend="jax").value()
-                else:
-                    got = drive_stream_encode(raw, desc)
-                assert np.array_equal(got, want), f"{c} encode mismatch on {name}"
-                if c == "jax":
-                    gd = q.decode(want, backend="jax").value().data
-                else:
-                    gd = drive_stream_decode(want, desc)
-                assert np.array_equal(gd, raw), f"{c} decode mismatch on {name}"
-        print("verification: all codecs bit-exact vs oracle")
+            encs = {c: enc_with(c, raw, desc) for c in qoi_codecs}
+            want = encs.get("native", next(iter(encs.values())))
+            for ce, blob in encs.items():
+                assert np.array_equal(blob, want), (
+                    f"{ce} encode bytes differ from native on {name}"
+                )
+                for cd in qoi_codecs:
+                    got = dec_with(cd, blob, desc)
+                    assert np.array_equal(got, raw), (
+                        f"cross roundtrip {ce}->enc->{cd}->dec mismatch on {name}"
+                    )
+        print(f"verification: {len(qoi_codecs)}x{len(qoi_codecs)} enc/dec "
+              "cross matrix bit-exact on every image")
 
     header = ["image", "codec", "enc ms", "dec ms", "enc MP/s", "dec MP/s",
               "enc d%", "dec d%", "size KiB", "ratio %"]

@@ -35,12 +35,11 @@ sys.path.insert(0, str(ROOT / "tests"))
 
 def _sync_decode_plan(plan):
     """Tiny dependent fetch on every device output of a decode plan."""
-    _, packed_parts, bucket_parts = plan
+    _, packed_parts, split_parts = plan
     for _, (dev, _, _) in packed_parts:
         np.asarray(dev[0, 0])
-    for _, _, sub in bucket_parts:
-        for _, dev in sub:
-            np.asarray(dev[0, 0])
+    for _, (dev, _, _, _) in split_parts:
+        np.asarray(dev[0, 0])
 
 
 def main():

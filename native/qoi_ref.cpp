@@ -629,6 +629,18 @@ u64 qoiref_pack_files(const char** paths, u64 n, u8* out, u64 row,
 // (chunks_size, total pixels).  Returns the number of segments produced
 // (<= n_segments; empty segments are never emitted).
 //
+// ANCHORING: after a cost threshold crossing the cut slides forward (up to
+// `lookahead` bytes) to the next OP_RGB/OP_RGBA chunk, so the segment
+// OPENS with an absolute-color write.  This is what makes the device-side
+// seam fixpoint converge in O(1) rounds on smooth DIFF/LUMA-heavy content:
+// a segment whose first chunk is a SET re-anchors the carried pixel
+// immediately, so its out-state stops depending on the speculative
+// in-state (measured: un-anchored 22 KB photo segments converge one lane
+// per round; anchored ones in 2-3 rounds total).  prefer_rgba biases the
+// anchor to OP_RGBA (for alpha-varying streams, where OP_RGB keeps the
+// carried alpha byte and only OP_RGBA anchors all four components).
+// lookahead = 0 disables anchoring.
+//
 // The walk itself is the sequential part the reference does per-pixel
 // (source/simple.cpp:111-170); here it is tag-dispatch only (~1 ns/chunk),
 // done ONCE per stream on host — the pixel reconstruction stays on device.
@@ -636,6 +648,7 @@ u64 qoiref_pack_files(const char** paths, u64 n, u8* out, u64 row,
 
 u64 qoiref_split_points(const u8* body, u64 chunks_size, u64 n_px,
                         u64 n_segments, double byte_w, double px_w,
+                        u64 lookahead, int prefer_rgba,
                         u64* offsets_out, u64* px_out) {
   if (n_segments == 0) return 0;
   auto chunk_len = [](u8 tag) -> u64 {
@@ -672,27 +685,59 @@ u64 qoiref_split_points(const u8* body, u64 chunks_size, u64 n_px,
     return 1;
   }
   const double step = total / (double)n_segments;
-  // pass 2: cut at cost thresholds
-  u64 nseg = 0;     // segments closed so far
-  u64 next_k = 1;   // next threshold index to cross
+  // pass 2: cut at cost thresholds, sliding each cut to a SET anchor
+  u64 nseg = 0;      // segments closed so far
+  u64 next_k = 1;    // next threshold index to cross
   offsets_out[0] = 0;
   px_out[0] = 0;
   double acc = 0.0;
   u64 pos = 0, px = 0;
+  // pending cut state: armed when a threshold is crossed; the cut lands
+  // on the next anchor chunk (or after `lookahead` bytes, unanchored)
+  bool armed = false;
+  u64 arm_pos = 0;
+  bool have_rgb = false;
+  u64 rgb_pos = 0, rgb_px = 0;
   while (pos < chunks_size) {
     const u8 tag = body[pos];
+    if (armed) {
+      const bool is_rgba = tag == TAG_RGBA;
+      const bool is_rgb = tag == TAG_RGB;
+      bool cut_here = prefer_rgba ? is_rgba : (is_rgb || is_rgba);
+      if (is_rgb && prefer_rgba && !have_rgb) {
+        have_rgb = true;  // fallback anchor if no RGBA appears in time
+        rgb_pos = pos;
+        rgb_px = px;
+      }
+      if (!cut_here && pos - arm_pos >= lookahead) {
+        if (have_rgb) {  // late: take the RGB anchor we passed
+          ++nseg;
+          offsets_out[nseg] = rgb_pos;
+          px_out[nseg] = rgb_px;
+          armed = false;
+          have_rgb = false;
+        } else {
+          cut_here = true;  // no anchor in budget: plain cut
+        }
+      }
+      if (cut_here && armed) {
+        ++nseg;
+        offsets_out[nseg] = pos;
+        px_out[nseg] = px;
+        armed = false;
+        have_rgb = false;
+      }
+    }
     const u64 len = chunk_len(tag);
     u64 npx = chunk_px(tag);
     if (px + npx > n_px) npx = (n_px > px) ? n_px - px : 0;
     acc += byte_w * (double)len + px_w * (double)npx;
     pos += len;
     px += npx;
-    if (pos < chunks_size && next_k < n_segments &&
-        acc >= step * (double)next_k) {
-      // crossed threshold(s): the NEXT chunk starts a new segment
-      ++nseg;
-      offsets_out[nseg] = pos;
-      px_out[nseg] = px;
+    if (!armed && pos < chunks_size && next_k < n_segments &&
+        nseg + 1 < n_segments && acc >= step * (double)next_k) {
+      armed = true;  // next anchor (or lookahead expiry) cuts
+      arm_pos = pos;
       // skip every threshold this chunk already passed so one giant
       // chunk never spawns a cascade of near-empty segments
       while (next_k < n_segments && acc >= step * (double)next_k) ++next_k;

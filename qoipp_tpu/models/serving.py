@@ -9,16 +9,18 @@ execution shape fits it:
     into shared replay/compaction lanes; total device work tracks
     sum(sizes).  Replay depth = lane bytes, so lanes stay short: this is
     the tail engine.
+  * split replay (models/split.py) — streams ABOVE the pack cap split
+    into anchored segments spread across replay lanes with seam-fixpoint
+    reconciliation, so a multi-MB photo pays ~rounds/K of its sequential
+    replay depth instead of all of it (decode).  The sp-sharded path
+    extends the same seam algebra across chips (parallel/sharded.py).
   * length-bucketed batching (models/scheduler.py over models/pipeline.py)
-    — streams above the lane cap group by geometry and run the batched
-    pipeline at tight per-bucket caps; the scan/replay engines inside it
-    handle single huge streams (the sp-sharded path extends this across
-    chips, parallel/sharded.py).
+    — the geometry-grouped batch engine, used by the encode fallback.
 
-Routing is by size against the pack-lane capacity — the measured
-crossover (BASELINE.md: packing wins below the lane cap because replay
-depth is shared; above it the per-image pipeline's window replay is
-shorter than a stretched lane would be).
+Decode routing is by body size against min(pack lane capacity,
+split_min_bytes): below it packing wins (shared lanes, NO fixpoint);
+above it splitting wins (a big stream in packed lanes would set every
+lane's sequential replay depth to its own full size).
 
 Everything stays 100% bit-exact with the reference codec; the router
 only picks execution shapes.
@@ -33,6 +35,7 @@ import numpy as np
 from ..common import Desc, read_header
 from .packed import PackedDecoder, PackedEncoder
 from .scheduler import BucketedCodec
+from .split import SplitDecoder
 
 
 def _size_tiers(idxs: Sequence[int], size: Dict[int, int], span: int,
@@ -65,29 +68,35 @@ class ServingCodec:
     (size = max(body bytes, pixels)), each tier decoding as one packed
     dispatch with its own balanced lane plan — a tier's lane depth
     (sequential replay) and pixel cap (place sweep) are set by its
-    heaviest member, so homogeneous tiers keep both tight.  Only streams
-    above pack_lane_bytes / DEC_PACK_PX_CAP fall through to the
-    geometry-bucketed batch engine.
+    heaviest member, so homogeneous tiers keep both tight.  Streams above
+    min(pack_lane_bytes, split_min_bytes) or DEC_PACK_PX_CAP route to the
+    split-replay engine (one dispatch for ALL of them — each stream's
+    chunk field spreads across lanes, models/split.py).
 
     Parameters
     ----------
-    pack_lane_bytes: per-stream body-byte cap for decode packing; streams
-        with larger bodies route to the bucketed batch engine.
+    pack_lane_bytes: per-stream body-byte cap for decode packing.
+    split_min_bytes: bodies above this split across lanes instead of
+        packing (a big stream in a packed tier sets every lane's
+        sequential replay depth to its own full size).
     pack_lane_px: pixel-slot capacity of encode packing lanes; larger
         images route to the bucketed batch engine.
     growth / min_len: bucket geometry for the batch engine
-        (models/scheduler.BucketedCodec).
+        (models/scheduler.BucketedCodec, the encode fallback).
     """
 
     DEC_TIER_SPAN = 4      # max size spread inside one packed tier
     DEC_TIER_MIN = 16      # min streams per tier (a dispatch costs ~45 ms)
-    DEC_PACK_PX_CAP = 1 << 24  # streams above route to the batch engine
+    DEC_PACK_PX_CAP = 1 << 24  # streams above route to the split engine
 
     def __init__(self, pack_lane_bytes: int = 8 << 20,
                  pack_lane_px: int = 1 << 20,
-                 growth: float = 2.0, min_len: int = 1 << 14):
+                 growth: float = 2.0, min_len: int = 1 << 14,
+                 split_min_bytes: int = 1 << 20):
         self._dec_pack = PackedDecoder(lane_bytes=pack_lane_bytes)
         self._enc_pack = PackedEncoder(lane_px=pack_lane_px)
+        self._dec_split = SplitDecoder()
+        self._split_min = split_min_bytes
         self._growth = growth
         self._min_len = min_len
         self._buckets: Dict[Tuple[int, int, int], BucketedCodec] = {}
@@ -132,7 +141,8 @@ class ServingCodec:
         n = len(arrs)
         packable = [
             i for i in range(n)
-            if arrs[i].size - 22 <= self._dec_pack.lane_bytes
+            if arrs[i].size - 22
+            <= min(self._dec_pack.lane_bytes, self._split_min)
             and descs[i].width * descs[i].height <= self.DEC_PACK_PX_CAP
         ]
         # Size-TIERED packed plans: lane depth (sequential replay) and the
@@ -156,30 +166,27 @@ class ServingCodec:
             for idxs in tiers
         ]
 
+        # Over-cap streams: ONE split-replay dispatch — every big stream's
+        # chunk field spreads across up to 128 lanes with seam-fixpoint
+        # reconciliation (models/split.py), so the over-cap tier stops
+        # paying full-stream sequential replay depth (round-3's weakest
+        # serving headline: the multi-MB photos).
         taken = set(packable)
-        by_geom: Dict[Tuple[int, int, int], List[int]] = {}
-        for i in range(n):
-            if i in taken:
-                continue
-            d = descs[i]
-            by_geom.setdefault(
-                (d.width, d.height, int(d.channels)), []
-            ).append(i)
-        bucket_parts = []
-        for idxs in by_geom.values():
-            codec = self._bucket(descs[idxs[0]])
-            plan = codec.prepare([arrs[i] for i in idxs])
-            bucket_parts.append(
-                (idxs, descs[idxs[0]], codec.decode_prepared(plan))
+        rest = [i for i in range(n) if i not in taken]
+        split_parts = []
+        if rest:
+            split_parts.append(
+                (rest,
+                 self._dec_split.decode_to_device([arrs[i] for i in rest]))
             )
-        return n, packed_parts, bucket_parts
+        return n, packed_parts, split_parts
 
     def decode_finish(self, dispatched) -> List[np.ndarray]:
         """Fetch a decode_dispatch plan's device results (one bulk fetch
         per engine output) and slice/unpack per stream on host."""
         from .packed import _unpack_pixels_np
 
-        n, packed_parts, bucket_parts = dispatched
+        n, packed_parts, split_parts = dispatched
         results: List[Optional[np.ndarray]] = [None] * n
         for tier_idxs, (dev, where, pdescs) in packed_parts:
             host = np.asarray(dev)
@@ -188,16 +195,14 @@ class ServingCodec:
                 results[i] = _unpack_pixels_np(
                     host[Li, poff : poff + npx], int(d.channels)
                 )
-        for idxs, d, sub in bucket_parts:
-            ch = int(d.channels)
-            npx = d.width * d.height
-            for sub_idxs, dev in sub:
-                # trim lane padding + pixel cap on device: one extra
-                # dispatch (~50 ms tunnel) buys back far more at the
-                # ~14 MB/s device->host fetch rate
-                host = np.asarray(dev[: len(sub_idxs), :npx])
-                for j, k in enumerate(sub_idxs):
-                    results[idxs[k]] = _unpack_pixels_np(host[j], ch)
+        for idxs, (dev, where, sdescs, _rounds) in split_parts:
+            host = np.asarray(dev)
+            for i, segs, d in zip(idxs, where, sdescs):
+                npx = d.width * d.height
+                px = np.empty(npx, np.uint32)
+                for lane, p0, p1 in segs:
+                    px[p0:p1] = host[lane, : p1 - p0]
+                results[i] = _unpack_pixels_np(px, int(d.channels))
         return results  # type: ignore[return-value]
 
     # -- encode -------------------------------------------------------------

@@ -1,0 +1,280 @@
+"""Split-replay decode: over-cap streams' chunk fields spread across lanes.
+
+Packed lanes (models/packed.py) share replay depth across MANY streams via
+in-band resets — but a single over-cap stream still pays its full chunk
+count sequentially (replay depth = stream bytes, the weak tier of round-3
+serving).  This engine splits each big stream's chunk bytes into K
+cost-balanced segments (cut ON chunk boundaries by the native walker,
+native/qoi_ref.cpp::qoiref_split_points), replays ALL segments in parallel
+Pallas lanes from SPECULATIVE carries, and reconciles the seams with a
+transfer-summary fixpoint — the single-chip analog of the sp-sharded
+ppermute seam pass (parallel/sharded.py):
+
+  * replay round: every lane replays its segment with the summary kernel
+    (ops/replay_kernel.replay_batch_summary) from its current in-state
+    guess, producing (emits, out-state, transfer summary); summary bit 0
+    means that state component passed through the lane untouched;
+  * propagate: a lax.scan over the <= 128 lanes rebuilds each lane's
+    implied in-state from its chain predecessor's out-state (chain heads
+    re-enter the decoder's initial carry — or an explicit carried state,
+    for the device streaming windows);
+  * converged when every implied in-state equals the guess.  Any fixpoint
+    IS the exact sequential semantics, by induction from each chain head
+    (the same argument as ops/decode.decode_bytes, which proves this
+    algebra with lax.scan tiles; here the tiles are Pallas lanes).
+
+Convergence is typically 2-3 rounds on real content (a segment almost
+always overwrites prev and all 64 table slots), so a stream split K ways
+costs ~rounds/K of its sequential replay.  Adversarial INDEX chains
+degrade gracefully: one lane per round, bounded by max-chain-length + 2
+rounds — still bit-exact, just slower (the bound make_sp_decode proves).
+
+Reference analog: none — the reference decodes a multi-MB stream strictly
+sequentially (source/simple.cpp:111-170).  This is the TPU-native answer
+to its "sequence length" scaling (SURVEY.md §5 long-context note).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import oracle
+from ..common import read_header
+from ..ops import boundary
+from ..ops import decode as dec_ops
+from ..ops import place_kernel
+from ..ops import replay_kernel as rk
+from ..ops.bitops import START_PIXEL_PACKED
+from .packed import _bucket_mult, _round_up, _unpack_pixels_np
+
+_START_HASH = (11 * 255) % 64
+
+
+def _seen0_vec():
+    return (
+        jnp.zeros(64, jnp.uint32).at[_START_HASH].set(
+            jnp.uint32(START_PIXEL_PACKED)
+        )
+    )
+
+
+@partial(jax.jit, static_argnames=("qb", "n_cap"))
+def _decode_split_lanes(regions, heads, chunks_sizes, max_chain,
+                        qb: int, n_cap: int):
+    """regions: (L, qb+8) u8 segment bytes (each lane = ONE segment, first
+    byte a chunk start); heads: (L,) bool — lane begins a new chain (a
+    stream's first segment); chunks_sizes: (L,) i32; max_chain: traced
+    scalar — longest chain length (fixpoint round bound).
+
+    Returns ((L, n_cap) u32 packed pixels per lane, rounds scalar)."""
+    l = regions.shape[0]
+    info = boundary.analyze_region_batch(
+        regions[:, :qb], chunks_sizes, jnp.int32(0)
+    )
+    real, pix_before = info["real"], info["pix_before"]
+    meta, val = dec_ops.fields_dense_batch(regions, real)
+
+    bpad = (-l) % 8
+    qpad = (-qb) % 512
+    meta_t = jnp.pad(meta, ((0, bpad), (0, qpad))).T  # (qbp, bp)
+    val_t = jnp.pad(val, ((0, bpad), (0, qpad))).T
+    bp = l + bpad
+    qbp = qb + qpad
+    # padded lanes are their own all-NOP chains: head=True keeps them out
+    # of real chains and lets them converge to the base state immediately
+    heads_p = jnp.pad(heads, (0, bpad), constant_values=True)
+
+    seen0 = _seen0_vec()
+
+    def propagate(out_p, out_s, pu, sw):
+        """Exclusive chain-walk over lanes: implied in-state per lane.
+        out_p/pu: (bp,); out_s/sw: (bp, 64)."""
+
+        def step(carry, x):
+            p_c, s_c = carry
+            head_k, op, os_, pu_k, sw_k = x
+            in_p = jnp.where(head_k, jnp.uint32(START_PIXEL_PACKED), p_c)
+            in_s = jnp.where(head_k, seen0, s_c)
+            o_p = jnp.where(pu_k > 0, op, in_p)
+            o_s = jnp.where(sw_k > 0, os_, in_s)
+            return (o_p, o_s), (in_p, in_s)
+
+        (_, _), (in_p, in_s) = jax.lax.scan(
+            step,
+            (jnp.uint32(START_PIXEL_PACKED), seen0),
+            (heads_p, out_p, out_s, pu, sw),
+        )
+        return in_p, in_s  # (bp,), (bp, 64)
+
+    def body(st):
+        in_p, in_s, _, _, it = st
+        emits, out_p, out_s, pu, sw = rk.replay_batch_summary(
+            meta_t, val_t, in_p, in_s
+        )
+        want_p, want_s = propagate(out_p[0], out_s.T, pu[0], sw.T)
+        want_p = want_p[None, :]
+        want_s = want_s.T
+        done = jnp.all(want_p == in_p) & jnp.all(want_s == in_s)
+        # emits in the carry came from the replay with in_p; done means
+        # in_p was already the fixpoint, so those emits are the exact ones
+        return (want_p, want_s, emits, done, it + 1)
+
+    def cond(st):
+        _, _, _, done, it = st
+        return (~done) & (it < max_chain + 2)
+
+    init_p = jnp.full((1, bp), START_PIXEL_PACKED, jnp.uint32)
+    # Round-0 guess (speed only — ANY fixpoint is exact): empty slots
+    # guess alpha = 0xFF, not 0.  OP_RGB keeps the carried alpha byte
+    # (reference simple.cpp:119-129), so a wrong alpha picked up from a
+    # speculative zero slot can NEVER heal inside a pure-RGB stream — it
+    # travels the chain one lane per round (measured: a 128-segment photo
+    # converged in 127 rounds with zero guesses, 3 with these).  Valid
+    # encoder output only INDEXes slots holding real (alpha-0xFF in RGB)
+    # pixels, so this guess is usually right where it matters.
+    init_s = jnp.broadcast_to(
+        jnp.where(seen0 == 0, jnp.uint32(0xFF000000), seen0)[:, None],
+        (64, bp),
+    )
+    init_e = jnp.zeros((qbp, bp), jnp.uint32)
+    _, _, emits_t, _, rounds = jax.lax.while_loop(
+        cond, body, (init_p, init_s, init_e, jnp.array(False), jnp.int32(0))
+    )
+    emits = emits_t.T[:l, :qb]
+
+    base = place_kernel.window_base_rows(pix_before, n_cap)
+    return place_kernel.place_fill(pix_before, emits, base, n_cap), rounds
+
+
+class SplitDecoder:
+    """Decode large QOI streams by splitting each across replay lanes.
+
+    Lane planning: each stream gets segments proportional to its cost
+    (byte_w * body bytes + px_w * pixels — the same measured decode cost
+    model as PackedDecoder's planner: replay is sequential in lane DEPTH,
+    the place sweep in lanes x pixel cap), so the heaviest lane sets both
+    compile caps as tightly as the corpus allows.  All segments of all
+    streams ride ONE dispatch; chains never span dispatches.
+
+    lanes: target lane count (<= 128: the replay table plane pads there).
+    """
+
+    MAX_LANES = 128
+
+    def __init__(self, lanes: int = 128):
+        if not 1 <= lanes <= self.MAX_LANES:
+            raise ValueError("lanes must be in 1..128")
+        self.lanes = lanes
+
+    def decode(self, blobs: Sequence) -> List[np.ndarray]:
+        packed, where, descs, _ = self.decode_to_device(blobs)
+        packed = np.asarray(packed)  # ONE bulk fetch
+        out = []
+        for segs, d in zip(where, descs):
+            npx = d.width * d.height
+            px = np.empty(npx, np.uint32)
+            for lane, p0, p1 in segs:
+                px[p0:p1] = packed[lane, : p1 - p0]
+            out.append(_unpack_pixels_np(px, int(d.channels)))
+        return out
+
+    def decode_to_device(self, blobs: Sequence):
+        """Stage + dispatch; returns ((L, n_cap) u32 device pixels, where
+        [per stream: list of (lane, px_start, px_end)], descs, rounds).
+        Results stay HBM-resident (the serving north-star form)."""
+        (regions, heads, chunks_sizes, where, descs, qb, n_cap,
+         max_chain) = self.plan_and_pack(blobs)
+        packed, rounds = _decode_split_lanes(
+            jnp.asarray(regions),
+            jnp.asarray(heads),
+            jnp.asarray(chunks_sizes),
+            jnp.int32(max_chain),
+            qb=qb,
+            n_cap=n_cap,
+        )
+        return packed, where, descs, rounds
+
+    def plan_and_pack(self, blobs: Sequence):
+        """Host staging: native chunk-walk split per stream, one segment
+        per lane.  Returns (regions (L, qb+8) u8, heads (L,) bool,
+        chunks_sizes (L,) i32, where, descs, qb, n_cap, max_chain)."""
+        arrs = [
+            np.frombuffer(bytes(x), np.uint8)
+            if not isinstance(x, np.ndarray) else x
+            for x in blobs
+        ]
+        descs = []
+        for a in arrs:
+            h = read_header(a)
+            if not h:
+                raise ValueError(f"bad stream: {h.error()}")
+            descs.append(h.value())
+        sizes = [a.size - 22 for a in arrs]
+        if any(s < 1 for s in sizes):
+            raise ValueError("truncated stream (no body bytes)")
+        pxs = [d.width * d.height for d in descs]
+
+        # cost model (BASELINE.md round-3 stage profile, as PackedDecoder):
+        # replay ~(46 + 2.45 L) ns per lane-depth byte; place ~0.27 L ns
+        # per pixel-cap cell.  Total cost is known from headers alone.
+        L = self.lanes
+        byte_w = 46.0 + 2.45 * L
+        px_w = 0.27 * L
+        costs = [byte_w * s + px_w * p for s, p in zip(sizes, pxs)]
+        target = sum(costs) / L
+        n_segs = [max(1, int(round(c / target))) for c in costs]
+        while sum(n_segs) > L:  # rounding overshoot: trim the largest
+            n_segs[int(np.argmax(n_segs))] -= 1
+
+        plans = []  # (stream idx, byte offsets, px offsets)
+        for i, a in enumerate(arrs):
+            # anchored cuts: segments open with an OP_RGB/OP_RGBA chunk
+            # so the seam fixpoint converges in O(1) rounds on smooth
+            # DIFF/LUMA content (see the walker's docstring); the
+            # lookahead budget bounds the balance skew at ~25%/segment
+            lookahead = max(sizes[i] // max(n_segs[i], 1) // 4, 64)
+            offs, poffs = oracle.split_points(
+                a[14 : 14 + sizes[i]], pxs[i], n_segs[i], byte_w, px_w,
+                lookahead=lookahead,
+                prefer_rgba=int(descs[i].channels) == 4,
+            )
+            plans.append((i, offs, poffs))
+
+        seg_bytes = [
+            int(offs[k + 1] - offs[k])
+            for _, offs, _ in plans for k in range(len(offs) - 1)
+        ]
+        seg_px = [
+            int(poffs[k + 1] - poffs[k])
+            for _, _, poffs in plans for k in range(len(poffs) - 1)
+        ]
+        gran = 8 * boundary.BLOCK
+        qb = _bucket_mult(max(max(seg_bytes), gran), gran)
+        n_cap = _bucket_mult(max(max(seg_px), 1), place_kernel.WIN)
+
+        l_ne = _round_up(len(seg_bytes), 8)  # bounded compile-shape set
+        regions = np.zeros((l_ne, qb + 8), np.uint8)
+        heads = np.zeros(l_ne, bool)
+        heads[len(seg_bytes):] = True  # padded lanes: their own chains
+        chunks_sizes = np.zeros(l_ne, np.int32)
+        where: List[List[Tuple[int, int, int]]] = [[] for _ in arrs]
+        lane = 0
+        max_chain = 1
+        for i, offs, poffs in plans:
+            body = arrs[i][14 : 14 + sizes[i]]
+            nseg = len(offs) - 1
+            max_chain = max(max_chain, nseg)
+            for k in range(nseg):
+                b0, b1 = int(offs[k]), int(offs[k + 1])
+                regions[lane, : b1 - b0] = body[b0:b1]
+                chunks_sizes[lane] = b1 - b0
+                heads[lane] = k == 0
+                where[i].append((lane, int(poffs[k]), int(poffs[k + 1])))
+                lane += 1
+        return (regions, heads, chunks_sizes, where, descs, qb, n_cap,
+                max_chain)

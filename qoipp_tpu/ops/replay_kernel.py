@@ -50,74 +50,108 @@ def _hash6(v):
     return (r * 3 + g * 5 + b * 7 + a * 11) & 63
 
 
-def _replay_kernel(prev_in_ref, seen_in_ref, meta_ref, val_ref,
-                   emit_ref, prev_out_ref, seen_out_ref, prev_scr, seen_scr):
-    slab = pl.program_id(0)
-    slab_t = meta_ref.shape[0]
-    b = meta_ref.shape[1]
-    n_slabs = pl.num_programs(0)
+def _make_replay_kernel(with_summary: bool):
+    """Kernel builder.  with_summary additionally tracks per-lane transfer
+    summaries — pupd (1, B): has prev been overwritten; swr (64, B): has
+    table slot s been overwritten (int32 0/1; Mosaic dislikes carried
+    bools) — the seam algebra of the split-replay fixpoint
+    (ops/split.py): a lane's OUT state component is a function of its IN
+    state exactly where the summary bit is 0."""
 
-    @pl.when(slab == 0)
-    def _init():
-        prev_scr[:] = prev_in_ref[:]
-        seen_scr[:] = seen_in_ref[:]
+    def kernel(prev_in_ref, seen_in_ref, meta_ref, val_ref,
+               emit_ref, prev_out_ref, seen_out_ref, *rest):
+        if with_summary:
+            pupd_ref, swr_ref, prev_scr, seen_scr, pupd_scr, swr_scr = rest
+        else:
+            prev_scr, seen_scr = rest
+        slab = pl.program_id(0)
+        slab_t = meta_ref.shape[0]
+        b = meta_ref.shape[1]
+        n_slabs = pl.num_programs(0)
 
-    slots = jax.lax.broadcasted_iota(jnp.int32, (64, b), 0)
+        @pl.when(slab == 0)
+        def _init():
+            prev_scr[:] = prev_in_ref[:]
+            seen_scr[:] = seen_in_ref[:]
+            if with_summary:
+                pupd_scr[:] = jnp.zeros((1, b), jnp.int32)
+                swr_scr[:] = jnp.zeros((64, b), jnp.int32)
 
-    def step(t, _):
-        meta = meta_ref[t, :].reshape(1, b).astype(jnp.int32)
-        val = val_ref[t, :].reshape(1, b)
-        cls = meta & 7
-        arg = (meta >> 3) & 63
-        # bit 9: stream-start reset (packed lanes, models/packed.py) —
-        # this chunk begins a NEW stream in its lane: state re-enters the
-        # decoder's initial carry before the op applies
-        rst = (meta >> 9) & 1
+        slots = jax.lax.broadcasted_iota(jnp.int32, (64, b), 0)
 
-        prev = jnp.where(
-            rst == 1, jnp.uint32(START_PIXEL_PACKED), prev_scr[:]
-        )  # (1, b)
-        seen = jnp.where(
-            jnp.broadcast_to(rst == 1, (64, b)),
-            jnp.where(slots == _START_HASH,
-                      jnp.uint32(START_PIXEL_PACKED), jnp.uint32(0)),
-            seen_scr[:],
-        )  # (64, b)
+        def step(t, _):
+            meta = meta_ref[t, :].reshape(1, b).astype(jnp.int32)
+            val = val_ref[t, :].reshape(1, b)
+            cls = meta & 7
+            arg = (meta >> 3) & 63
+            # bit 9: stream-start reset (packed lanes, models/packed.py) —
+            # this chunk begins a NEW stream in its lane: state re-enters the
+            # decoder's initial carry before the op applies
+            rst = (meta >> 9) & 1
 
-        hot_r = slots == arg  # (64, b), arg broadcast over sublanes
-        # one-hot "gather": exactly one addend per lane, so a signed sum
-        # is bit-exact (Mosaic lacks unsigned reductions)
-        idx_val = jnp.sum(
-            jnp.where(hot_r, seen, 0).astype(jnp.int32), axis=0, keepdims=True
-        ).astype(jnp.uint32)
+            prev = jnp.where(
+                rst == 1, jnp.uint32(START_PIXEL_PACKED), prev_scr[:]
+            )  # (1, b)
+            seen = jnp.where(
+                jnp.broadcast_to(rst == 1, (64, b)),
+                jnp.where(slots == _START_HASH,
+                          jnp.uint32(START_PIXEL_PACKED), jnp.uint32(0)),
+                seen_scr[:],
+            )  # (64, b)
 
-        set_val = jnp.where(cls == CLS_SETC, (prev & jnp.uint32(0xFF000000)) | val, val)
-        add_val = _swar_add(prev, val)
+            hot_r = slots == arg  # (64, b), arg broadcast over sublanes
+            # one-hot "gather": exactly one addend per lane, so a signed sum
+            # is bit-exact (Mosaic lacks unsigned reductions)
+            idx_val = jnp.sum(
+                jnp.where(hot_r, seen, 0).astype(jnp.int32), axis=0,
+                keepdims=True
+            ).astype(jnp.uint32)
 
-        v = jnp.where(
-            (cls == CLS_SETA) | (cls == CLS_SETC),
-            set_val,
-            jnp.where(
-                cls == CLS_ADD,
-                add_val,
-                jnp.where(cls == CLS_IDX, idx_val, prev),
-            ),
-        )
-        upd = (cls >= CLS_SETA) & (cls <= CLS_IDX)
+            set_val = jnp.where(
+                cls == CLS_SETC, (prev & jnp.uint32(0xFF000000)) | val, val
+            )
+            add_val = _swar_add(prev, val)
 
-        prev_scr[:] = jnp.where(upd, v, prev)
-        h = _hash6(v)
-        hot_w = (slots == h) & upd  # broadcast (1,b) over sublanes
-        seen_scr[:] = jnp.where(hot_w, jnp.broadcast_to(v, (64, b)), seen)
-        emit_ref[t, :] = v.reshape(b)
-        return 0
+            v = jnp.where(
+                (cls == CLS_SETA) | (cls == CLS_SETC),
+                set_val,
+                jnp.where(
+                    cls == CLS_ADD,
+                    add_val,
+                    jnp.where(cls == CLS_IDX, idx_val, prev),
+                ),
+            )
+            upd = (cls >= CLS_SETA) & (cls <= CLS_IDX)
 
-    jax.lax.fori_loop(0, slab_t, step, 0)
+            prev_scr[:] = jnp.where(upd, v, prev)
+            h = _hash6(v)
+            hot_w = (slots == h) & upd  # broadcast (1,b) over sublanes
+            seen_scr[:] = jnp.where(hot_w, jnp.broadcast_to(v, (64, b)), seen)
+            if with_summary:
+                # a reset overwrites EVERY state component (the out-state
+                # stops depending on the in-state from that chunk on)
+                wrote_p = (rst == 1) | upd
+                wrote_s = jnp.broadcast_to(rst == 1, (64, b)) | hot_w
+                pupd_scr[:] = jnp.where(wrote_p, 1, pupd_scr[:])
+                swr_scr[:] = jnp.where(wrote_s, 1, swr_scr[:])
+            emit_ref[t, :] = v.reshape(b)
+            return 0
 
-    @pl.when(slab == n_slabs - 1)
-    def _finish():
-        prev_out_ref[:] = prev_scr[:]
-        seen_out_ref[:] = seen_scr[:]
+        jax.lax.fori_loop(0, slab_t, step, 0)
+
+        @pl.when(slab == n_slabs - 1)
+        def _finish():
+            prev_out_ref[:] = prev_scr[:]
+            seen_out_ref[:] = seen_scr[:]
+            if with_summary:
+                pupd_ref[:] = pupd_scr[:]
+                swr_ref[:] = swr_scr[:]
+
+    return kernel
+
+
+_replay_kernel = _make_replay_kernel(with_summary=False)
+_replay_summary_kernel = _make_replay_kernel(with_summary=True)
 
 
 def initial_state(b: int):
@@ -170,6 +204,53 @@ def replay_batch_carry(meta, val, prev_in, seen_in, slab: int = 512):
         scratch_shapes=[
             pltpu.VMEM((1, b), jnp.uint32),
             pltpu.VMEM((64, b), jnp.uint32),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(prev_in, seen_in, meta, val)
+
+
+@partial(jax.jit, static_argnames=("slab",))
+def replay_batch_summary(meta, val, prev_in, seen_in, slab: int = 512):
+    """Carried-state replay that ALSO returns per-lane transfer summaries:
+    pupd (1, B) int32 — prev overwritten anywhere in the lane; swr (64, B)
+    int32 — table slot overwritten.  A lane's out-state component equals
+    its in-state component exactly where the summary bit is 0 — the seam
+    algebra the split-replay fixpoint (ops/split.py) propagates.
+
+    Returns (emits, prev_out, seen_out, pupd, swr)."""
+    c_cap, b = meta.shape
+    assert c_cap % slab == 0
+    grid = (c_cap // slab,)
+
+    whole = lambda i: (0, 0)
+    return pl.pallas_call(
+        _replay_summary_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, b), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, b), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((slab, b), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((slab, b), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((slab, b), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, b), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, b), whole, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((c_cap, b), jnp.uint32),
+            jax.ShapeDtypeStruct((1, b), jnp.uint32),
+            jax.ShapeDtypeStruct((64, b), jnp.uint32),
+            jax.ShapeDtypeStruct((1, b), jnp.int32),
+            jax.ShapeDtypeStruct((64, b), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, b), jnp.uint32),
+            pltpu.VMEM((64, b), jnp.uint32),
+            pltpu.VMEM((1, b), jnp.int32),
+            pltpu.VMEM((64, b), jnp.int32),
         ],
         interpret=jax.default_backend() != "tpu",
     )(prev_in, seen_in, meta, val)

@@ -33,12 +33,39 @@ def make_corpus(seed=0, n=26):
 def test_decode_mixed_routes_and_parity():
     corpus = make_corpus()
     blobs = [oracle.encode(r, d)[0] for r, d in corpus]
-    # small lanes force the noisy mid/large streams onto the bucketed path
+    # small lanes force the noisy mid/large streams onto the SPLIT path
     codec = ServingCodec(pack_lane_bytes=8 << 10, min_len=1 << 12)
-    got = codec.decode(blobs)
+    n, packed_parts, split_parts = codec.decode_dispatch(blobs)
+    assert split_parts, "over-cap streams must route to the split engine"
+    got = codec.decode_finish((n, packed_parts, split_parts))
     assert len(got) == len(corpus)
     for (raw, d), g in zip(corpus, got):
         assert np.array_equal(g, raw), f"{d.width}x{d.height} decode mismatch"
+
+
+def test_decode_split_min_routes_big_streams():
+    # bodies above split_min_bytes go to the split engine even when the
+    # pack lanes could hold them; parity must hold across both engines
+    rng = np.random.default_rng(11)
+    corpus = []
+    for k in range(18):  # packable smalls
+        d = Desc(20 + k, 16, Channels.RGB)
+        corpus.append(
+            (rng.integers(0, 256, d.width * d.height * 3, np.uint8), d)
+        )
+    for _ in range(2):  # big noisy streams (body >> split_min below)
+        d = Desc(160, 160, Channels.RGBA)
+        corpus.append(
+            (rng.integers(0, 256, 160 * 160 * 4, np.uint8), d)
+        )
+    blobs = [oracle.encode(r, d)[0] for r, d in corpus]
+    codec = ServingCodec(split_min_bytes=1 << 14, min_len=1 << 12)
+    n, packed_parts, split_parts = codec.decode_dispatch(blobs)
+    assert len(split_parts) == 1
+    assert split_parts[0][0] == [18, 19]
+    got = codec.decode_finish((n, packed_parts, split_parts))
+    for (raw, d), g in zip(corpus, got):
+        assert np.array_equal(g, raw)
 
 
 def test_encode_mixed_routes_and_parity():
@@ -89,12 +116,12 @@ def test_decode_tiered_packing():
         corpus.append((pal[rng.integers(0, 9, 160 * 120)].reshape(-1), d))
     blobs = [oracle.encode(r, d)[0] for r, d in corpus]
     codec = ServingCodec(min_len=1 << 12)
-    n, packed_parts, bucket_parts = codec.decode_dispatch(blobs)
-    assert not bucket_parts, "everything fits the packed engine"
+    n, packed_parts, split_parts = codec.decode_dispatch(blobs)
+    assert not split_parts, "everything fits the packed engine"
     assert len(packed_parts) >= 2, "size classes must tier"
     covered = sorted(i for idxs, _ in packed_parts for i in idxs)
     assert covered == list(range(len(blobs)))
-    got = codec.decode_finish((n, packed_parts, bucket_parts))
+    got = codec.decode_finish((n, packed_parts, split_parts))
     for (raw, d), g in zip(corpus, got):
         assert np.array_equal(g, raw)
 

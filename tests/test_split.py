@@ -1,0 +1,101 @@
+"""Split-replay decode: exactness of the lane-split + seam fixpoint engine
+(models/split.py) against the oracle, including seam-sensitive content
+(segments opening with RUN / INDEX chunks whose state crosses the seam)
+and the adversarial convergence bound."""
+
+import numpy as np
+import pytest
+
+from qoipp_tpu import Channels, Desc, oracle
+from qoipp_tpu.models.split import SplitDecoder
+
+
+def _mixed_image(rng, w, h, ch):
+    """Content with long runs, palette reuse (INDEX), gradients (DIFF/LUMA)
+    and noise (RGB/RGBA) — every op class crosses segment seams."""
+    n = w * h
+    px = rng.integers(0, 256, (n, ch)).astype(np.uint8)
+    px[n // 8 : n // 3] = 23  # long run region
+    pal = rng.integers(0, 256, (6, ch)).astype(np.uint8)
+    px[n // 3 : n // 2] = pal[rng.integers(0, 6, n // 2 - n // 3)]
+    ramp = (np.arange(n // 4) % 250).astype(np.uint8)
+    px[n // 2 : n // 2 + n // 4] = ramp[:, None] // np.arange(1, ch + 1)
+    return px.reshape(-1)
+
+
+@pytest.mark.parametrize("lanes", [4, 16])
+def test_split_single_stream_bit_exact(lanes):
+    rng = np.random.default_rng(0)
+    desc = Desc(320, 200, Channels.RGB)
+    raw = _mixed_image(rng, 320, 200, 3)
+    enc, _ = oracle.encode(raw, desc)
+    dec = SplitDecoder(lanes=lanes)
+    got = dec.decode([enc])
+    assert np.array_equal(got[0], raw)
+
+
+def test_split_multi_stream_chains():
+    rng = np.random.default_rng(1)
+    blobs, raws = [], []
+    for k, (w, h, ch) in enumerate(
+        [(300, 150, 3), (128, 128, 4), (64, 32, 3), (250, 99, 4)]
+    ):
+        raw = _mixed_image(rng, w, h, ch)
+        enc, _ = oracle.encode(raw, Desc(w, h, Channels(ch)))
+        blobs.append(enc)
+        raws.append(raw)
+    dec = SplitDecoder(lanes=24)
+    got = dec.decode(blobs)
+    for i, raw in enumerate(raws):
+        assert np.array_equal(got[i], raw), f"stream {i}"
+
+
+def test_split_run_opening_seams():
+    # Flat image: almost every segment opens with a RUN chunk whose value
+    # is the seam's prev — the pure carried-prev dependence.
+    desc = Desc(256, 128, Channels.RGB)
+    raw = np.full(256 * 128 * 3, 77, np.uint8)
+    raw[:3] = (1, 2, 3)
+    enc, _ = oracle.encode(raw, desc)
+    dec = SplitDecoder(lanes=8)
+    got = dec.decode([enc])
+    assert np.array_equal(got[0], raw)
+
+
+def test_split_index_heavy_convergence_bound():
+    # Palette-cycling content: INDEX chunks read table slots that earlier
+    # segments wrote — the seam's table dependence.  The fixpoint must
+    # stay within max_chain + 2 rounds and stay exact.
+    rng = np.random.default_rng(2)
+    n = 200 * 100
+    pal = rng.integers(0, 256, (48, 3)).astype(np.uint8)
+    raw = pal[rng.integers(0, 48, n)].reshape(-1)
+    desc = Desc(200, 100, Channels.RGB)
+    enc, _ = oracle.encode(raw, desc)
+    dec = SplitDecoder(lanes=16)
+    packed, where, descs, rounds = dec.decode_to_device([enc])
+    max_chain = max(len(s) for s in where)
+    assert int(rounds) <= max_chain + 2
+    got = dec.decode([enc])
+    assert np.array_equal(got[0], raw)
+
+
+def test_split_planner_segments_on_chunk_boundaries():
+    rng = np.random.default_rng(3)
+    raw = _mixed_image(rng, 400, 300, 3)
+    enc, _ = oracle.encode(raw, Desc(400, 300, Channels.RGB))
+    dec = SplitDecoder(lanes=32)
+    regions, heads, chunks_sizes, where, descs, qb, n_cap, max_chain = (
+        dec.plan_and_pack([enc])
+    )
+    segs = where[0]
+    assert len(segs) > 1
+    assert heads[segs[0][0]] and not any(heads[s[0]] for s in segs[1:])
+    # pixel coverage is a partition of the image
+    assert segs[0][1] == 0
+    for (l0, a0, b0), (l1, a1, b1) in zip(segs, segs[1:]):
+        assert b0 == a1
+    assert segs[-1][2] == 400 * 300
+    # lanes' byte loads are balanced within ~2x
+    loads = [int(chunks_sizes[s[0]]) for s in segs]
+    assert max(loads) <= 2 * max(min(loads), 1)

@@ -342,9 +342,8 @@ def main(argv=None):
                 plan = codec.decode_dispatch(blobs)
                 for _, (dev, _, _) in plan[1]:
                     np.asarray(dev[0, 0])
-                for _, _, sub in plan[2]:
-                    for _, dev in sub:
-                        np.asarray(dev[0, 0])
+                for _, (dev, _, _, _) in plan[2]:
+                    np.asarray(dev[0, 0])
 
             td = timed(run_sdec, args.runs, warmup)
         if not args.no_encode:

@@ -102,27 +102,54 @@ def main():
             f"{'100%' if ok else 'FAIL'}")
         dec.reset()
 
-    # ---------------- decode: device-compute (window kernel only) -----------
+    # ---------------- decode: device-compute (window kernels only) ----------
+    # stage one window's split plan (host walker + upload), then time the
+    # split-lane window decode alone — the co-located projection
+    from qoipp_tpu.models.split import _decode_window_lanes
+
     for win_mb in (1, 2, 4):
         win = win_mb << 20
-        qb = -(-win // 128) * 128
-        pixel_cap = pcap
-        region = np.zeros(qb + 8, np.uint8)
-        n0 = min(win, body.size)
-        region[:n0] = body[:n0]
-        prev, seen = rk.initial_state(8)
-        region_j = jax.device_put(jnp.asarray(region), dev)
+        dec = ds.DeviceStreamDecoder(window_cap=win, pixel_cap=pcap)
+        dec.initialize(enc[:14])
+        wbytes = bytes(body[: min(win, body.size)].tobytes()
+                       if isinstance(body, np.ndarray)
+                       else body[: min(win, body.size)])
+        # replicate _decode_one_window's staging
+        warr = np.frombuffer(wbytes, np.uint8)
+        k = min(dec.split_lanes, max(len(wbytes) // 512, 1))
+        byte_w, px_w = 46.0 + 2.45 * k, 0.27 * k
+        offs, poffs = oracle.split_points(
+            warr, 1 << 60, k, byte_w, px_w,
+            lookahead=max(len(wbytes) // k // 4, 64))
+        nseg = len(offs) - 1
+        from qoipp_tpu.ops.decode import _bucket
+        from qoipp_tpu.ops import boundary as bd, place_kernel as pk
+        l = -(-nseg // 8) * 8
+        qseg = _bucket(int(np.diff(offs).max()), 8 * bd.BLOCK)
+        n_cap = _bucket(-(-max(int(np.diff(poffs).max()), 1) // pk.WIN)
+                        * pk.WIN, pk.WIN)
+        regions = np.zeros((l, qseg + 8), np.uint8)
+        seg_lens = np.zeros(l, np.int32)
+        for s in range(nseg):
+            b0, b1 = int(offs[s]), int(offs[s + 1])
+            regions[s, : b1 - b0] = warr[b0:b1]
+            seg_lens[s] = b1 - b0
+        r_d = jax.device_put(jnp.asarray(regions), dev)
+        s_d = jax.device_put(jnp.asarray(seg_lens), dev)
+        prev0 = jnp.full((1,), 0xFF000000, jnp.uint32)
+        seen0 = jnp.zeros(64, jnp.uint32)
 
-        def run(region_j, prev, seen):
-            return ds._decode_window(
-                region_j, jnp.int32(n0), prev, seen, qb=qb,
-                pixel_cap=pixel_cap)
+        def run(r_d, s_d, prev0, seen0):
+            return _decode_window_lanes(r_d, s_d, prev0, seen0,
+                                        jnp.int32(l), qb=qseg, n_cap=n_cap)
 
-        out = jax.block_until_ready(run(region_j, prev, seen))
-        n_pix_w = int(out[1])
-        t = device_time_ms(run, region_j, prev, seen, runs=6)
+        out = jax.block_until_ready(run(r_d, s_d, prev0, seen0))
+        n_pix_w = int(np.asarray(out[1]).sum())
+        rounds = int(out[5])
+        t = device_time_ms(run, r_d, s_d, prev0, seen0, runs=6)
         log(f"[decode win={win_mb}MB] device-compute {n_pix_w/t/1e3:.1f} "
-            f"MPix/s ({t:.1f} ms/window, {n_pix_w/1e6:.2f} MPix/window)")
+            f"MPix/s ({t:.1f} ms/window, {n_pix_w/1e6:.2f} MPix/window, "
+            f"{nseg} lanes, {rounds} rounds)")
 
     # ---------------- encode: end-to-end API sweep ---------------------------
     for wpx_log in (18, 20, 21):

@@ -95,6 +95,23 @@ def main():
     print(f"serving decode (HBM-resident): {total_px/t_serve/1e6:.1f} "
           f"MPix/s ({t_serve*1e3:.0f} ms)")
 
+    # device execution alone: inputs pre-staged in HBM, time dispatch ->
+    # completion (the number a co-located deployment's device share is)
+    staged = codec.decode_stage(blobs)
+    for parts in (staged[1], staged[2]):
+        for _, s in parts:
+            np.asarray(s[0][0, 0])  # force the uploads to finish
+    t0 = time.perf_counter()
+    _sync_decode_plan(codec.decode_dispatch_staged(staged))
+    rtt2 = time.perf_counter() - t0  # warm probe incl. one RTT
+    t0 = time.perf_counter()
+    for _ in range(args.runs):
+        _sync_decode_plan(codec.decode_dispatch_staged(staged))
+    t_exec = max((time.perf_counter() - t0) / args.runs - rtt, 1e-9)
+    print(f"serving decode device-exec (pre-staged): "
+          f"{total_px/t_exec/1e6:.1f} MPix/s ({t_exec*1e3:.0f} ms; "
+          f"warm probe {rtt2*1e3:.0f} ms)")
+
     t0 = time.perf_counter()
     codec.decode_finish(plan)
     t_fetch = time.perf_counter() - t0

@@ -142,16 +142,26 @@ class PackedDecoder:
         the serving-loop form (the north star measures decode into
         HBM-resident tensors; fetching through the transport is the
         caller's amortizable cost, see BASELINE.md transport notes)."""
+        return self.dispatch_staged(self.stage_to_device(blobs))
+
+    def stage_to_device(self, blobs: Sequence):
+        """Plan + upload only (no compute dispatched): returns an opaque
+        staged plan whose inputs are device-resident.  Separating staging
+        from dispatch lets serving loops overlap the next batch's upload
+        with this batch's compute, and lets benches time the device
+        execution alone (the number a co-located deployment feels)."""
         regions, seg, chunks_sizes, where, descs, qb, n_cap, l_total = (
             self.plan_and_pack(blobs)
         )
+        return (jnp.asarray(regions), jnp.asarray(seg),
+                jnp.asarray(chunks_sizes), where, descs, qb, n_cap, l_total)
+
+    def dispatch_staged(self, staged):
+        """Dispatch a stage_to_device plan; returns (device pixels, where,
+        descs) with results HBM-resident."""
+        regions, seg, chunks_sizes, where, descs, qb, n_cap, l_total = staged
         packed = _decode_lanes(
-            jnp.asarray(regions),
-            jnp.asarray(seg),
-            jnp.asarray(chunks_sizes),
-            qb=qb,
-            n_cap=n_cap,
-            l_total=l_total,
+            regions, seg, chunks_sizes, qb=qb, n_cap=n_cap, l_total=l_total
         )
         return packed, where, descs
 

@@ -126,25 +126,9 @@ class ServingCodec:
         the next batch's staging and this batch's fetch both overlap the
         device work, and the north-star metric (decode into HBM-resident
         tensors, BASELINE.md) is the time to plan+dispatch+complete."""
-        arrs = [
-            np.frombuffer(bytes(x), np.uint8)
-            if not isinstance(x, np.ndarray) else np.asarray(x, np.uint8)
-            for x in blobs
-        ]
-        descs: List[Desc] = []
-        for a in arrs:
-            h = read_header(a)
-            if not h:
-                raise ValueError(f"bad stream: {h.error()}")
-            descs.append(h.value())
-
+        arrs, descs = self._parse(blobs)
         n = len(arrs)
-        packable = [
-            i for i in range(n)
-            if arrs[i].size - 22
-            <= min(self._dec_pack.lane_bytes, self._split_min)
-            and descs[i].width * descs[i].height <= self.DEC_PACK_PX_CAP
-        ]
+        packable = self._packable(arrs, descs)
         # Size-TIERED packed plans: lane depth (sequential replay) and the
         # pixel cap (place sweep) are both set by a tier's HEAVIEST
         # stream, so heterogeneous corpora pack into tiers of <= 4x size
@@ -179,6 +163,71 @@ class ServingCodec:
                 (rest,
                  self._dec_split.decode_to_device([arrs[i] for i in rest]))
             )
+        return n, packed_parts, split_parts
+
+    @staticmethod
+    def _parse(blobs: Sequence):
+        arrs = [
+            np.frombuffer(bytes(x), np.uint8)
+            if not isinstance(x, np.ndarray) else np.asarray(x, np.uint8)
+            for x in blobs
+        ]
+        descs: List[Desc] = []
+        for a in arrs:
+            h = read_header(a)
+            if not h:
+                raise ValueError(f"bad stream: {h.error()}")
+            descs.append(h.value())
+        return arrs, descs
+
+    def _packable(self, arrs, descs) -> List[int]:
+        return [
+            i for i in range(len(arrs))
+            if arrs[i].size - 22
+            <= min(self._dec_pack.lane_bytes, self._split_min)
+            and descs[i].width * descs[i].height <= self.DEC_PACK_PX_CAP
+        ]
+
+    def decode_stage(self, blobs: Sequence):
+        """Plan + upload every engine's inputs WITHOUT dispatching compute.
+        Pair with decode_dispatch_staged() to run the device work — the
+        serving overlap point for co-located deployments, and the honest
+        way to measure device execution alone (the upload rides the
+        transport at its own rate; see BASELINE.md)."""
+        arrs, descs = self._parse(blobs)
+        n = len(arrs)
+        packable = self._packable(arrs, descs)
+        t = {
+            i: max(arrs[i].size - 22, descs[i].width * descs[i].height)
+            for i in packable
+        }
+        tiers = _size_tiers(packable, t, self.DEC_TIER_SPAN,
+                            self.DEC_TIER_MIN)
+        packed_staged = [
+            (idxs, self._dec_pack.stage_to_device([arrs[i] for i in idxs]))
+            for idxs in tiers
+        ]
+        rest = [i for i in range(n) if i not in set(packable)]
+        split_staged = []
+        if rest:
+            split_staged.append(
+                (rest,
+                 self._dec_split.stage_to_device([arrs[i] for i in rest]))
+            )
+        return n, packed_staged, split_staged
+
+    def decode_dispatch_staged(self, staged):
+        """Dispatch a decode_stage plan; returns the decode_finish-ready
+        plan with HBM-resident results."""
+        n, packed_staged, split_staged = staged
+        packed_parts = [
+            (idxs, self._dec_pack.dispatch_staged(s))
+            for idxs, s in packed_staged
+        ]
+        split_parts = [
+            (idxs, self._dec_split.dispatch_staged(s))
+            for idxs, s in split_staged
+        ]
         return n, packed_parts, split_parts
 
     def decode_finish(self, dispatched) -> List[np.ndarray]:

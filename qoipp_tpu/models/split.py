@@ -151,6 +151,90 @@ def _decode_split_lanes(regions, heads, chunks_sizes, max_chain,
     return place_kernel.place_fill(pix_before, emits, base, n_cap), rounds
 
 
+@partial(jax.jit, static_argnames=("qb", "n_cap"))
+def _decode_window_lanes(regions, seg_lens, prev0, seen_col0, max_chain,
+                         qb: int, n_cap: int):
+    """Window variant of _decode_split_lanes for the device streaming
+    decoder: ONE chain whose head re-enters a CARRIED state (prev0 (1,),
+    seen_col0 (64,)), and lanes hold segments of a byte window whose last
+    chunk may be torn — a chunk counts only if it fits entirely inside its
+    lane's seg_len (the window driver re-feeds the torn tail).
+
+    Returns (packed (L, n_cap) u32, n_pix (L,) i32, consumed (L,) i32,
+    prev_out (1,), seen_out (64,), rounds).  Padded zero-length lanes pass
+    the state through, so the LAST lane's out-state is the window carry."""
+    l = regions.shape[0]
+    q = jnp.arange(qb, dtype=jnp.int32)[None, :]
+    is_start = boundary.chunk_starts_batch(regions[:, :qb])
+    lens = boundary.chunk_len_of(regions[:, :qb]).astype(jnp.int32)
+    complete = is_start & (q + lens <= seg_lens[:, None])
+
+    tag = regions[:, :qb].astype(jnp.int32)
+    is_run = ((tag & 0xC0) == 0xC0) & (tag != 0xFE) & (tag != 0xFF)
+    produced_raw = jnp.where(is_run, (tag & 0x3F) + 1, 1).astype(jnp.int32)
+    produced = jnp.where(complete, produced_raw, 0)
+    pix_before = jnp.cumsum(produced, axis=1) - produced
+    consumed = jnp.max(jnp.where(complete, q + lens, 0), axis=1)
+    n_pix = jnp.sum(produced, axis=1)
+
+    meta, val = dec_ops.fields_dense_batch(regions, complete)
+    bpad = (-l) % 8
+    qpad = (-qb) % 512
+    meta_t = jnp.pad(meta, ((0, bpad), (0, qpad))).T
+    val_t = jnp.pad(val, ((0, bpad), (0, qpad))).T
+    bp = l + bpad
+    qbp = qb + qpad
+    heads_p = jnp.zeros(bp, bool).at[0].set(True)  # one chain
+
+    def propagate(out_p, out_s, pu, sw):
+        def step(carry, x):
+            p_c, s_c = carry
+            head_k, op, os_, pu_k, sw_k = x
+            in_p = jnp.where(head_k, prev0[0], p_c)
+            in_s = jnp.where(head_k, seen_col0, s_c)
+            o_p = jnp.where(pu_k > 0, op, in_p)
+            o_s = jnp.where(sw_k > 0, os_, in_s)
+            return (o_p, o_s), (in_p, in_s)
+
+        (lp, ls), (in_p, in_s) = jax.lax.scan(
+            step, (prev0[0], seen_col0), (heads_p, out_p, out_s, pu, sw)
+        )
+        return in_p, in_s, lp, ls  # + final (window-carry) state
+
+    def body(st):
+        in_p, in_s, _, _, _, _, it = st
+        emits, out_p, out_s, pu, sw = rk.replay_batch_summary(
+            meta_t, val_t, in_p, in_s
+        )
+        want_p, want_s, fin_p, fin_s = propagate(
+            out_p[0], out_s.T, pu[0], sw.T
+        )
+        want_p = want_p[None, :]
+        want_s = want_s.T
+        done = jnp.all(want_p == in_p) & jnp.all(want_s == in_s)
+        return (want_p, want_s, emits, fin_p, fin_s, done, it + 1)
+
+    def cond(st):
+        return (~st[5]) & (st[6] < max_chain + 2)
+
+    init_p = jnp.full((1, bp), START_PIXEL_PACKED, jnp.uint32)
+    seen0 = _seen0_vec()
+    init_s = jnp.broadcast_to(
+        jnp.where(seen0 == 0, jnp.uint32(0xFF000000), seen0)[:, None],
+        (64, bp),
+    )
+    init_e = jnp.zeros((qbp, bp), jnp.uint32)
+    _, _, emits_t, fin_p, fin_s, _, rounds = jax.lax.while_loop(
+        cond, body,
+        (init_p, init_s, init_e, prev0[0], seen_col0,
+         jnp.array(False), jnp.int32(0)),
+    )
+    emits = emits_t.T[:l, :qb]
+    base = place_kernel.window_base_rows(pix_before, n_cap)
+    packed = place_kernel.place_fill(pix_before, emits, base, n_cap)
+    return packed, n_pix, consumed, fin_p[None], fin_s, rounds
+
+
 class SplitDecoder:
     """Decode large QOI streams by splitting each across replay lanes.
 
@@ -187,15 +271,22 @@ class SplitDecoder:
         """Stage + dispatch; returns ((L, n_cap) u32 device pixels, where
         [per stream: list of (lane, px_start, px_end)], descs, rounds).
         Results stay HBM-resident (the serving north-star form)."""
+        return self.dispatch_staged(self.stage_to_device(blobs))
+
+    def stage_to_device(self, blobs: Sequence):
+        """Plan + upload only (no compute dispatched) — see
+        PackedDecoder.stage_to_device for the staging rationale."""
         (regions, heads, chunks_sizes, where, descs, qb, n_cap,
          max_chain) = self.plan_and_pack(blobs)
+        return (jnp.asarray(regions), jnp.asarray(heads),
+                jnp.asarray(chunks_sizes), jnp.int32(max_chain),
+                where, descs, qb, n_cap)
+
+    def dispatch_staged(self, staged):
+        (regions, heads, chunks_sizes, max_chain, where, descs, qb,
+         n_cap) = staged
         packed, rounds = _decode_split_lanes(
-            jnp.asarray(regions),
-            jnp.asarray(heads),
-            jnp.asarray(chunks_sizes),
-            jnp.int32(max_chain),
-            qb=qb,
-            n_cap=n_cap,
+            regions, heads, chunks_sizes, max_chain, qb=qb, n_cap=n_cap
         )
         return packed, where, descs, rounds
 

@@ -11,9 +11,10 @@ concatenated stream.  Byte-granular resumability (partial output buffers,
 transactional rollback) remains the native StreamEncoder/StreamDecoder's
 job (qoipp_tpu.stream).
 
-Decode windows ride the carried-state Pallas replay kernel
-(ops/replay_kernel.replay_batch_carry); encode windows run the parallel
-encoder with carried (prev, run, table) seeds.
+Decode windows split across replay lanes with seam-fixpoint
+reconciliation (models/split._decode_window_lanes — the carried state
+enters the window's first lane as its chain base); encode windows run
+the parallel encoder with carried (prev, run, table) seeds.
 """
 
 from __future__ import annotations
@@ -33,9 +34,7 @@ from ..common import (
     read_header,
 )
 from . import boundary
-from . import decode as dec_ops
 from . import encode as enc_ops
-from . import replay_kernel as rk
 from .bitops import (
     START_PIXEL_PACKED,
     hash6,
@@ -71,62 +70,28 @@ def _unpack_pixels_np(packed: np.ndarray, channels: int) -> np.ndarray:
 # --------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("qb", "pixel_cap"))
-def _decode_window(region, win_len, prev_in, seen_in, qb: int, pixel_cap: int):
-    """Decode the complete chunks of one window.
-
-    region: (qb + 8,) u8 (window bytes, zero-padded); win_len: traced byte
-    count.  Returns (packed (pixel_cap,), n_pixels, consumed_bytes,
-    prev_out, seen_out).  Placement + run fill run through the production
-    Pallas place kernel (pixel_cap % place_kernel.WIN == 0); rows whose
-    pixels land beyond pixel_cap simply never place (the caller rejects
-    the window via the n_pixels > pixel_cap check).
-    """
-    from . import place_kernel
-
-    q = jnp.arange(qb, dtype=jnp.int32)
-    is_start = boundary.chunk_starts(region[:qb])
-    lens = boundary.chunk_len_of(region[:qb]).astype(jnp.int32)
-    complete = is_start & (q + lens <= win_len)
-
-    tag = region[:qb].astype(jnp.int32)
-    is_run = ((tag & 0xC0) == 0xC0) & (tag != 0xFE) & (tag != 0xFF)
-    produced_raw = jnp.where(is_run, (tag & 0x3F) + 1, 1).astype(jnp.int32)
-    produced = jnp.where(complete, produced_raw, 0)
-    pix_before = jnp.cumsum(produced) - produced
-    consumed = jnp.max(jnp.where(complete, q + lens, 0))
-
-    meta, val = dec_ops.fields_dense_batch(region[None], complete[None])
-    qpad = (-qb) % 512
-    lanes = 8
-    meta_b = jnp.broadcast_to(
-        jnp.pad(meta, ((0, 0), (0, qpad)))[0][:, None], (qb + qpad, lanes)
-    )
-    val_b = jnp.broadcast_to(
-        jnp.pad(val, ((0, 0), (0, qpad)))[0][:, None], (qb + qpad, lanes)
-    )
-    emits, prev_out, seen_out = rk.replay_batch_carry(
-        meta_b, val_b, prev_in, seen_in
-    )
-    pb = pix_before[None]  # (1, qb); non-producing rows never place
-    em = emits[:qb, :1].T
-    base = place_kernel.window_base_rows(pb, pixel_cap)
-    packed = place_kernel.place_fill(pb, em, base, pixel_cap)[0]
-    n_pixels = jnp.sum(produced)
-    return packed, n_pixels, consumed, prev_out, seen_out
-
-
 class DeviceStreamDecoder:
-    """Window-granular streaming QOI decoder with device-resident state."""
+    """Window-granular streaming QOI decoder with device-resident state.
 
-    def __init__(self, window_cap: int = 1 << 20, pixel_cap: Optional[int] = None):
+    Round-4 internals: each window's chunk bytes are split across up to
+    ``split_lanes`` replay lanes (cost-balanced, anchored cuts from the
+    native walker) and reconciled with the seam fixpoint
+    (models/split._decode_window_lanes) — the window's sequential replay
+    depth drops from window-bytes to ~2 * window-bytes / lanes.  The
+    carried state is the same ~260-byte codec carry (prev + 64-entry
+    table; SURVEY.md §5), entering the window's first lane as its chain
+    base.  Bit-exact with the one-shot codec on the concatenated stream.
+    """
+
+    def __init__(self, window_cap: int = 1 << 20,
+                 pixel_cap: Optional[int] = None, split_lanes: int = 64):
         from . import place_kernel
 
         self.window_cap = _round_up(window_cap, boundary.BLOCK)
         self.pixel_cap = _round_up(
             pixel_cap or 8 * self.window_cap, place_kernel.WIN
         )
-        self._lanes = 8
+        self.split_lanes = min(max(split_lanes, 1), 128)
         self._desc: Optional[Desc] = None
         self._target: Optional[Channels] = None
         self._leftover = b""
@@ -144,9 +109,67 @@ class DeviceStreamDecoder:
             return Result.err(hdr.error())
         self._desc = hdr.value()
         self._target = target or self._desc.channels
-        self._prev, self._seen = rk.initial_state(self._lanes)
+        self._prev = jnp.full((1,), START_PIXEL_PACKED, jnp.uint32)
+        self._seen = (
+            jnp.zeros(64, jnp.uint32)
+            .at[_START_HASH].set(jnp.uint32(START_PIXEL_PACKED))
+        )
         self._leftover = b""
         return Result.ok(self._desc.replace(channels=self._target))
+
+    def _decode_one_window(self, win: bytes):
+        """Split one byte window across lanes and decode it; returns
+        (pixel parts list, consumed bytes) and advances the carry."""
+        from .. import oracle
+        from ..models.split import _decode_window_lanes
+        from . import place_kernel
+        from .decode import _bucket
+
+        warr = np.frombuffer(win, np.uint8)
+        # at least ~512 B per segment: tiny windows take few/one lane
+        k = min(self.split_lanes, max(len(win) // 512, 1))
+        byte_w, px_w = 46.0 + 2.45 * k, 0.27 * k
+        offs, poffs = oracle.split_points(
+            warr, 1 << 60, k, byte_w, px_w,
+            lookahead=max(len(win) // k // 4, 64),
+            prefer_rgba=int(self._desc.channels) == 4,
+        )
+        nseg = len(offs) - 1
+        if int(poffs[-1]) > self.pixel_cap:
+            return None, 0  # caller maps to NOT_ENOUGH_SPACE
+        l = _round_up(nseg, 8)
+        seg_bytes = np.diff(offs)
+        qseg = _bucket(int(seg_bytes.max()), 8 * boundary.BLOCK)
+        n_cap = _round_up(
+            max(int(np.diff(poffs).max()), 1), place_kernel.WIN
+        )
+        n_cap = _bucket(n_cap, place_kernel.WIN)
+        regions = np.zeros((l, qseg + 8), np.uint8)
+        seg_lens = np.zeros(l, np.int32)
+        for s in range(nseg):
+            b0, b1 = int(offs[s]), int(offs[s + 1])
+            regions[s, : b1 - b0] = warr[b0:b1]
+            seg_lens[s] = b1 - b0
+        packed, n_pix, consumed, prev, seen, _rounds = _decode_window_lanes(
+            jnp.asarray(regions), jnp.asarray(seg_lens),
+            self._prev, self._seen, jnp.int32(l), qb=qseg, n_cap=n_cap,
+        )
+        n_pix_h = np.asarray(n_pix)
+        cons_h = np.asarray(consumed)
+        total_consumed = int(offs[nseg - 1]) + int(cons_h[nseg - 1])
+        if total_consumed == 0:
+            return [], 0
+        self._prev, self._seen = prev, seen
+        # ONE bulk fetch of the live pixel span, bucket-rounded (an
+        # exact-length eager slice compiles per distinct length through
+        # the tunnel); per-lane slicing happens on host
+        m = min(_bucket(max(int(n_pix_h.max()), 1), 8192), n_cap)
+        host = np.asarray(packed[:, :m])
+        parts = [
+            _unpack_pixels_np(host[s, : n_pix_h[s]], int(self._target))
+            for s in range(nseg) if n_pix_h[s]
+        ]
+        return parts, total_consumed
 
     def decode_window(self, data) -> Result[np.ndarray]:
         """Consume a byte window (chunks only, no header/end marker); returns
@@ -163,36 +186,12 @@ class DeviceStreamDecoder:
         pos = 0
         while pos < len(buf):
             win = buf[pos : pos + self.window_cap]
-            region = np.zeros(self.window_cap + 8, np.uint8)
-            region[: len(win)] = np.frombuffer(win, np.uint8)
-            packed, n_pix, consumed, prev, seen = _decode_window(
-                jnp.asarray(region),
-                jnp.int32(len(win)),
-                self._prev,
-                self._seen,
-                qb=self.window_cap,
-                pixel_cap=self.pixel_cap,
-            )
-            n_pix = int(n_pix)
-            consumed = int(consumed)
-            if n_pix > self.pixel_cap:
+            parts, consumed = self._decode_one_window(win)
+            if parts is None:
                 return Result.err(Error.NOT_ENOUGH_SPACE)
             if consumed == 0:
                 break  # only a split chunk left
-            # state advances only over consumed chunks: replay guaranteed
-            # since complete-chunk prefix == consumed prefix
-            self._prev, self._seen = prev, seen
-            # fetch only the real pixel span (rounded to a coarse bucket:
-            # an exact-length eager slice would compile a fresh program
-            # per distinct pixel count, ~30 s each through the tunnel)
-            # and unpack on HOST — eager device unpack ops cost a ~48 ms
-            # round trip each
-            m = min(_round_up(max(n_pix, 1), 1 << 19), self.pixel_cap)
-            out_parts.append(
-                _unpack_pixels_np(
-                    np.asarray(packed[:m])[:n_pix], int(self._target)
-                )
-            )
+            out_parts.extend(parts)
             pos += consumed
         self._leftover = buf[pos:]
         if out_parts:

@@ -150,9 +150,15 @@ class PackedDecoder:
         from dispatch lets serving loops overlap the next batch's upload
         with this batch's compute, and lets benches time the device
         execution alone (the number a co-located deployment feels)."""
-        regions, seg, chunks_sizes, where, descs, qb, n_cap, l_total = (
-            self.plan_and_pack(blobs)
-        )
+        return self.stage_plan(self.plan_and_pack(blobs))
+
+    @staticmethod
+    def stage_plan(plan):
+        """Upload a plan_and_pack host plan (numpy) to the device.  The
+        transport copy releases the GIL, so a serving loop can run this
+        on a worker thread while the calling thread plans the next tier
+        (ServingCodec.decode_dispatch_overlapped)."""
+        regions, seg, chunks_sizes, where, descs, qb, n_cap, l_total = plan
         return (jnp.asarray(regions), jnp.asarray(seg),
                 jnp.asarray(chunks_sizes), where, descs, qb, n_cap, l_total)
 
@@ -375,10 +381,13 @@ class PackedEncoder:
     """
 
     def __init__(self, lane_px: int = 1 << 20, lanes: int = 8,
-                 out_frac: float = 0.3):
+                 out_frac: float = 0.3,
+                 lane_counts: Optional[Sequence[int]] = None):
         self.lane_px = _round_up(lane_px, 2048)
         self.lanes = lanes
         self.out_frac = out_frac
+        # lane-count candidates for the plan search (None -> default set)
+        self.lane_counts = lane_counts
 
     def plan_and_pack(self, raws: Sequence[np.ndarray],
                       descs: Sequence[Desc]):
@@ -420,7 +429,10 @@ class PackedEncoder:
         total = sum(slots)
         wts = [s + 1.2 * c for s, c in zip(slots, stream_chunks)]
         best = None
-        for n_lanes in sorted({self.lanes, 8, 10, 12, 16}):
+        cand_counts = (sorted(set(self.lane_counts))
+                       if self.lane_counts
+                       else sorted({self.lanes, 8, 10, 12, 16}))
+        for n_lanes in cand_counts:
             np_ = _bucket_mult(
                 max(-(-total // n_lanes), max(slots, default=1)), 2048
             )

@@ -188,6 +188,45 @@ class ServingCodec:
             and descs[i].width * descs[i].height <= self.DEC_PACK_PX_CAP
         ]
 
+    def decode_dispatch_overlapped(self, blobs: Sequence):
+        """decode_dispatch with host planning pipelined against transport
+        uploads: tiers are planned on the calling thread while ONE worker
+        thread uploads + dispatches each planned tier (the transport copy
+        releases the GIL, so the single host core keeps packing the next
+        tier during it; device compute already overlaps both since
+        dispatches are async).  Returns the same decode_finish-ready plan
+        as decode_dispatch."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        arrs, descs = self._parse(blobs)
+        n = len(arrs)
+        packable = self._packable(arrs, descs)
+        t = {
+            i: max(arrs[i].size - 22, descs[i].width * descs[i].height)
+            for i in packable
+        }
+        tiers = _size_tiers(packable, t, self.DEC_TIER_SPAN,
+                            self.DEC_TIER_MIN)
+        rest = [i for i in range(n) if i not in set(packable)]
+        with ThreadPoolExecutor(1) as ex:
+            packed_futs = []
+            for idxs in tiers:
+                plan = self._dec_pack.plan_and_pack(
+                    [arrs[i] for i in idxs])
+                packed_futs.append((idxs, ex.submit(
+                    lambda p: self._dec_pack.dispatch_staged(
+                        self._dec_pack.stage_plan(p)), plan)))
+            split_futs = []
+            if rest:
+                plan = self._dec_split.plan_and_pack(
+                    [arrs[i] for i in rest])
+                split_futs.append((rest, ex.submit(
+                    lambda p: self._dec_split.dispatch_staged(
+                        self._dec_split.stage_plan(p)), plan)))
+            packed_parts = [(idxs, f.result()) for idxs, f in packed_futs]
+            split_parts = [(idxs, f.result()) for idxs, f in split_futs]
+        return n, packed_parts, split_parts
+
     def decode_stage(self, blobs: Sequence):
         """Plan + upload every engine's inputs WITHOUT dispatching compute.
         Pair with decode_dispatch_staged() to run the device work — the

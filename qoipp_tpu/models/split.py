@@ -276,8 +276,14 @@ class SplitDecoder:
     def stage_to_device(self, blobs: Sequence):
         """Plan + upload only (no compute dispatched) — see
         PackedDecoder.stage_to_device for the staging rationale."""
+        return self.stage_plan(self.plan_and_pack(blobs))
+
+    @staticmethod
+    def stage_plan(plan):
+        """Upload a plan_and_pack host plan — see
+        PackedDecoder.stage_plan for the worker-thread rationale."""
         (regions, heads, chunks_sizes, where, descs, qb, n_cap,
-         max_chain) = self.plan_and_pack(blobs)
+         max_chain) = plan
         return (jnp.asarray(regions), jnp.asarray(heads),
                 jnp.asarray(chunks_sizes), jnp.int32(max_chain),
                 where, descs, qb, n_cap)

@@ -146,3 +146,27 @@ def test_serving_edge_inputs():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         codec.encode([raw], [d, d])
+
+def test_decode_dispatch_overlapped_parity():
+    """The pipelined (worker-thread upload) dispatch returns the same
+    decode_finish-ready plan as the plain dispatch."""
+    corpus = make_corpus(seed=3)
+    blobs = [oracle.encode(r, d)[0] for r, d in corpus]
+    codec = ServingCodec(pack_lane_bytes=8 << 10, min_len=1 << 12)
+    plan = codec.decode_dispatch_overlapped(blobs)
+    assert plan[2], "over-cap streams must route to the split engine"
+    got = codec.decode_finish(plan)
+    assert len(got) == len(corpus)
+    for (raw, d), g in zip(corpus, got):
+        assert np.array_equal(g, raw), f"{d.width}x{d.height} overlap mismatch"
+
+
+def test_decode_stage_then_dispatch_parity():
+    """stage_to_device / dispatch_staged split equals the direct path."""
+    corpus = make_corpus(seed=5, n=18)
+    blobs = [oracle.encode(r, d)[0] for r, d in corpus]
+    codec = ServingCodec(pack_lane_bytes=8 << 10, min_len=1 << 12)
+    staged = codec.decode_stage(blobs)
+    got = codec.decode_finish(codec.decode_dispatch_staged(staged))
+    for (raw, d), g in zip(corpus, got):
+        assert np.array_equal(g, raw), f"{d.width}x{d.height} staged mismatch"

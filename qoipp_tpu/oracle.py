@@ -184,6 +184,12 @@ def encode(pixels, desc: Desc, out_cap: Optional[int] = None) -> Tuple[np.ndarra
     buffer (default: worst case)."""
     lib = _load()
     arr = _np_u8(pixels)
+    need = desc.width * desc.height * int(desc.channels)
+    if arr.size < need:
+        raise ValueError(
+            f"pixel buffer too small: {arr.size} < {need} "
+            f"({desc.width}x{desc.height}x{int(desc.channels)})"
+        )
     if out_cap is None:
         out_cap = (int(desc.channels) + 1) * desc.width * desc.height + 22
     out = np.empty(out_cap, dtype=np.uint8)

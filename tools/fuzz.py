@@ -127,11 +127,45 @@ def fuzz_stream(rng, max_side=40):
     assert np.array_equal(got_raw, raw), f"stream decode divergence: {desc}, buf={dec_buf}"
 
 
+def fuzz_split(rng, max_px=90_000):
+    """Split-replay decode engine (models/split.SplitDecoder): one large
+    stream spread across replay lanes with seam-fixpoint reconciliation
+    must equal the oracle — INDEX-heavy palettes and long runs stress the
+    cross-lane state dependency chain."""
+    from qoipp_tpu.models.split import SplitDecoder
+
+    w = int(rng.integers(64, 400))
+    h = max(min(int(rng.integers(64, 400)), max_px // w), 8)
+    ch = q.Channels.RGBA if rng.random() < 0.5 else q.Channels.RGB
+    desc = q.Desc(w, h, ch)
+    n = w * h * int(ch)
+    mode = rng.random()
+    if mode < 0.3:  # palette (INDEX-heavy; entries survive across lanes)
+        pal = rng.integers(0, 256, (int(rng.integers(3, 60)), int(ch)),
+                           dtype=np.uint8)
+        raw = pal[rng.integers(0, len(pal), w * h)].reshape(-1)
+    elif mode < 0.6:  # smooth gradients (DIFF/LUMA-heavy)
+        raw = (np.cumsum(rng.integers(-2, 3, n)) % 256).astype(np.uint8)
+    elif mode < 0.8:  # long runs
+        raw = np.repeat(rng.integers(0, 256, n // 97 + 1, dtype=np.uint8),
+                        97)[:n].copy()
+    else:  # noise (RGB/RGBA ops)
+        raw = rng.integers(0, 256, n, dtype=np.uint8)
+    if ch == q.Channels.RGBA and rng.random() < 0.5:
+        raw.reshape(-1, 4)[:, 3] = 255
+    enc, _ = oracle.encode(raw, desc)
+    dec = SplitDecoder(lanes=int(rng.integers(4, 48)))
+    outs = dec.decode([enc])
+    assert np.array_equal(outs[0], raw), \
+        f"split decode divergence: {desc}, lanes={dec.lanes}"
+
+
 FUZZERS = {
     "decode": fuzz_decode,
     "truncated": fuzz_truncated,
     "encode": fuzz_encode_roundtrip,
     "stream": fuzz_stream,
+    "split": fuzz_split,
 }
 
 

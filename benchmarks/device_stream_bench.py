@@ -105,7 +105,7 @@ def main():
     # ---------------- decode: device-compute (window kernels only) ----------
     # stage one window's split plan (host walker + upload), then time the
     # split-lane window decode alone — the co-located projection
-    from qoipp_tpu.models.split import _decode_window_lanes
+    from qoipp_tpu.models.split import _compact_cap, _decode_window_lanes
 
     for win_mb in (1, 2, 4):
         win = win_mb << 20
@@ -118,7 +118,7 @@ def main():
         warr = np.frombuffer(wbytes, np.uint8)
         k = min(dec.split_lanes, max(len(wbytes) // 512, 1))
         byte_w, px_w = 46.0 + 2.45 * k, 0.27 * k
-        offs, poffs = oracle.split_points(
+        offs, poffs, cis = oracle.split_points(
             warr, 1 << 60, k, byte_w, px_w,
             lookahead=max(len(wbytes) // k // 4, 64))
         nseg = len(offs) - 1
@@ -128,6 +128,7 @@ def main():
         qseg = _bucket(int(np.diff(offs).max()), 8 * bd.BLOCK)
         n_cap = _bucket(-(-max(int(np.diff(poffs).max()), 1) // pk.WIN)
                         * pk.WIN, pk.WIN)
+        qc = _compact_cap(int(np.diff(cis).max()), qseg)
         regions = np.zeros((l, qseg + 8), np.uint8)
         seg_lens = np.zeros(l, np.int32)
         for s in range(nseg):
@@ -141,7 +142,8 @@ def main():
 
         def run(r_d, s_d, prev0, seen0):
             return _decode_window_lanes(r_d, s_d, prev0, seen0,
-                                        jnp.int32(l), qb=qseg, n_cap=n_cap)
+                                        jnp.int32(l), qb=qseg, n_cap=n_cap,
+                                        qc=qc)
 
         out = jax.block_until_ready(run(r_d, s_d, prev0, seen0))
         n_pix_w = int(np.asarray(out[1]).sum())

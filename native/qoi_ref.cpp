@@ -624,10 +624,13 @@ u64 qoiref_pack_files(const char** paths, u64 n, u8* out, u64 row,
 // that keeps the device boundary pass's phase algebra exact per lane) each
 // time the running cost crosses the next multiple of total/n_segments.
 //
-// offsets_out/px_out have capacity n_segments + 1; entry 0 = (0, 0), entry
-// k = (byte offset, pixel offset) of segment k's first chunk, final entry =
-// (chunks_size, total pixels).  Returns the number of segments produced
-// (<= n_segments; empty segments are never emitted).
+// offsets_out/px_out/chunks_out have capacity n_segments + 1; entry 0 =
+// (0, 0, 0), entry k = (byte offset, pixel offset, chunk ordinal) of
+// segment k's first chunk, final entry = (chunks_size, total pixels, total
+// chunks).  chunks_out feeds the device-side chunk-domain compaction (the
+// static compact cap must bound every segment's chunk count); it may be
+// null.  Returns the number of segments produced (<= n_segments; empty
+// segments are never emitted).
 //
 // ANCHORING: after a cost threshold crossing the cut slides forward (up to
 // `lookahead` bytes) to the next OP_RGB/OP_RGBA chunk, so the segment
@@ -649,7 +652,7 @@ u64 qoiref_pack_files(const char** paths, u64 n, u8* out, u64 row,
 u64 qoiref_split_points(const u8* body, u64 chunks_size, u64 n_px,
                         u64 n_segments, double byte_w, double px_w,
                         u64 lookahead, int prefer_rgba,
-                        u64* offsets_out, u64* px_out) {
+                        u64* offsets_out, u64* px_out, u64* chunks_out) {
   if (n_segments == 0) return 0;
   auto chunk_len = [](u8 tag) -> u64 {
     if (tag == TAG_RGB) return 4;
@@ -682,6 +685,7 @@ u64 qoiref_split_points(const u8* body, u64 chunks_size, u64 n_px,
     px_out[0] = 0;
     offsets_out[1] = chunks_size;
     px_out[1] = 0;
+    if (chunks_out) { chunks_out[0] = 0; chunks_out[1] = 0; }
     return 1;
   }
   const double step = total / (double)n_segments;
@@ -690,14 +694,15 @@ u64 qoiref_split_points(const u8* body, u64 chunks_size, u64 n_px,
   u64 next_k = 1;    // next threshold index to cross
   offsets_out[0] = 0;
   px_out[0] = 0;
+  if (chunks_out) chunks_out[0] = 0;
   double acc = 0.0;
-  u64 pos = 0, px = 0;
+  u64 pos = 0, px = 0, ci = 0;
   // pending cut state: armed when a threshold is crossed; the cut lands
   // on the next anchor chunk (or after `lookahead` bytes, unanchored)
   bool armed = false;
   u64 arm_pos = 0;
   bool have_rgb = false;
-  u64 rgb_pos = 0, rgb_px = 0;
+  u64 rgb_pos = 0, rgb_px = 0, rgb_ci = 0;
   while (pos < chunks_size) {
     const u8 tag = body[pos];
     if (armed) {
@@ -708,12 +713,14 @@ u64 qoiref_split_points(const u8* body, u64 chunks_size, u64 n_px,
         have_rgb = true;  // fallback anchor if no RGBA appears in time
         rgb_pos = pos;
         rgb_px = px;
+        rgb_ci = ci;
       }
       if (!cut_here && pos - arm_pos >= lookahead) {
         if (have_rgb) {  // late: take the RGB anchor we passed
           ++nseg;
           offsets_out[nseg] = rgb_pos;
           px_out[nseg] = rgb_px;
+          if (chunks_out) chunks_out[nseg] = rgb_ci;
           armed = false;
           have_rgb = false;
         } else {
@@ -724,6 +731,7 @@ u64 qoiref_split_points(const u8* body, u64 chunks_size, u64 n_px,
         ++nseg;
         offsets_out[nseg] = pos;
         px_out[nseg] = px;
+        if (chunks_out) chunks_out[nseg] = ci;
         armed = false;
         have_rgb = false;
       }
@@ -734,6 +742,7 @@ u64 qoiref_split_points(const u8* body, u64 chunks_size, u64 n_px,
     acc += byte_w * (double)len + px_w * (double)npx;
     pos += len;
     px += npx;
+    ++ci;
     if (!armed && pos < chunks_size && next_k < n_segments &&
         nseg + 1 < n_segments && acc >= step * (double)next_k) {
       armed = true;  // next anchor (or lookahead expiry) cuts
@@ -746,6 +755,7 @@ u64 qoiref_split_points(const u8* body, u64 chunks_size, u64 n_px,
   ++nseg;
   offsets_out[nseg] = chunks_size;
   px_out[nseg] = px;
+  if (chunks_out) chunks_out[nseg] = ci;
   return nseg;
 }
 

@@ -46,6 +46,7 @@ import numpy as np
 from .. import oracle
 from ..common import read_header
 from ..ops import boundary
+from ..ops import compact_kernel as ck
 from ..ops import decode as dec_ops
 from ..ops import place_kernel
 from ..ops import replay_kernel as rk
@@ -53,6 +54,48 @@ from ..ops.bitops import START_PIXEL_PACKED
 from .packed import _bucket_mult, _round_up, _unpack_pixels_np
 
 _START_HASH = (11 * 255) % 64
+
+
+def _compact_cap(max_chunks: int, qb: int) -> int:
+    """Static chunk-domain cap for _compact_chunks, or 0 to stay in the
+    byte domain.  The cap needs compact_rows' write-window slack
+    (counts.max() + BLK + 128) and replay's 512-row slabs; compaction only
+    pays when the chunk domain is actually shorter than the byte domain
+    (mean chunk length ~1: dense noise streams gain nothing)."""
+    qc = _bucket_mult(max_chunks + ck.BLK + 128, 512)
+    return qc if qc < qb else 0
+
+
+def _compact_chunks(meta, val, pix_before, keep, n_cap: int, qc: int):
+    """Compact (meta, val, pix_before) from the byte domain to the chunk
+    domain (keep = chunk starts): the fixpoint's per-round replay depth and
+    the place sweep's slab count both drop by the mean chunk length
+    (1.3-5x, content-dependent).  The compaction itself is paid ONCE,
+    outside the seam fixpoint — rounds multiply the replay saving, which is
+    why this wins here while it measured a wash on the single-round batched
+    pipeline (round-3 ablation, docs/BACKLOG.md).
+
+    Invalid tail rows (beyond each lane's kept count) become NOPK metas
+    with pb = n_cap — the place kernel's "never writes" convention.  qc is
+    the static chunk cap from the host walker's per-segment chunk counts
+    (oracle.split_points ordinals)."""
+    l, qb = keep.shape
+    pad = (-qb) % ck.BLK
+    if pad:
+        meta = jnp.pad(meta, ((0, 0), (0, pad)))
+        val = jnp.pad(val, ((0, 0), (0, pad)))
+        pix_before = jnp.pad(pix_before, ((0, 0), (0, pad)))
+        keep = jnp.pad(keep, ((0, 0), (0, pad)))
+    # meta = kind | (arg << 3) <= 509: 2 active quarters; pb < n_cap
+    pb_q = 3 if n_cap <= (1 << 24) else 4
+    (meta_c, val_c, pb_c), counts = ck.compact_rows(
+        (meta, val, pix_before.astype(jnp.uint32)), keep, qc,
+        quarters=(2, 4, pb_q),
+    )
+    valid = jnp.arange(qc, dtype=jnp.int32)[None, :] < counts[:, None]
+    meta_c = jnp.where(valid, meta_c, 0)
+    pb_c = jnp.where(valid, pb_c.astype(jnp.int32), jnp.int32(n_cap))
+    return meta_c, val_c, pb_c
 
 
 def _seen0_vec():
@@ -63,13 +106,15 @@ def _seen0_vec():
     )
 
 
-@partial(jax.jit, static_argnames=("qb", "n_cap"))
+@partial(jax.jit, static_argnames=("qb", "n_cap", "qc"))
 def _decode_split_lanes(regions, heads, chunks_sizes, max_chain,
-                        qb: int, n_cap: int):
+                        qb: int, n_cap: int, qc: int = 0):
     """regions: (L, qb+8) u8 segment bytes (each lane = ONE segment, first
     byte a chunk start); heads: (L,) bool — lane begins a new chain (a
     stream's first segment); chunks_sizes: (L,) i32; max_chain: traced
-    scalar — longest chain length (fixpoint round bound).
+    scalar — longest chain length (fixpoint round bound); qc: static chunk
+    cap — when > 0, replay/place run on the compacted chunk domain
+    (_compact_chunks) instead of the byte domain.
 
     Returns ((L, n_cap) u32 packed pixels per lane, rounds scalar)."""
     l = regions.shape[0]
@@ -78,13 +123,18 @@ def _decode_split_lanes(regions, heads, chunks_sizes, max_chain,
     )
     real, pix_before = info["real"], info["pix_before"]
     meta, val = dec_ops.fields_dense_batch(regions, real)
+    if qc:
+        meta, val, pix_before = _compact_chunks(
+            meta, val, pix_before, real, n_cap, qc
+        )
 
     bpad = (-l) % 8
-    qpad = (-qb) % 512
+    width = qc or qb
+    qpad = (-width) % 512
     meta_t = jnp.pad(meta, ((0, bpad), (0, qpad))).T  # (qbp, bp)
     val_t = jnp.pad(val, ((0, bpad), (0, qpad))).T
     bp = l + bpad
-    qbp = qb + qpad
+    qbp = width + qpad
     # padded lanes are their own all-NOP chains: head=True keeps them out
     # of real chains and lets them converge to the base state immediately
     heads_p = jnp.pad(heads, (0, bpad), constant_values=True)
@@ -145,20 +195,23 @@ def _decode_split_lanes(regions, heads, chunks_sizes, max_chain,
     _, _, emits_t, _, rounds = jax.lax.while_loop(
         cond, body, (init_p, init_s, init_e, jnp.array(False), jnp.int32(0))
     )
-    emits = emits_t.T[:l, :qb]
+    emits = emits_t.T[:l, :width]
 
     base = place_kernel.window_base_rows(pix_before, n_cap)
     return place_kernel.place_fill(pix_before, emits, base, n_cap), rounds
 
 
-@partial(jax.jit, static_argnames=("qb", "n_cap"))
+@partial(jax.jit, static_argnames=("qb", "n_cap", "qc"))
 def _decode_window_lanes(regions, seg_lens, prev0, seen_col0, max_chain,
-                         qb: int, n_cap: int):
+                         qb: int, n_cap: int, qc: int = 0):
     """Window variant of _decode_split_lanes for the device streaming
     decoder: ONE chain whose head re-enters a CARRIED state (prev0 (1,),
     seen_col0 (64,)), and lanes hold segments of a byte window whose last
     chunk may be torn — a chunk counts only if it fits entirely inside its
-    lane's seg_len (the window driver re-feeds the torn tail).
+    lane's seg_len (the window driver re-feeds the torn tail).  qc > 0
+    routes replay/place through the compacted chunk domain (the host
+    walker's per-segment chunk counts bound every lane's kept count, torn
+    tails only shrink it).
 
     Returns (packed (L, n_cap) u32, n_pix (L,) i32, consumed (L,) i32,
     prev_out (1,), seen_out (64,), rounds).  Padded zero-length lanes pass
@@ -178,12 +231,17 @@ def _decode_window_lanes(regions, seg_lens, prev0, seen_col0, max_chain,
     n_pix = jnp.sum(produced, axis=1)
 
     meta, val = dec_ops.fields_dense_batch(regions, complete)
+    if qc:
+        meta, val, pix_before = _compact_chunks(
+            meta, val, pix_before, complete, n_cap, qc
+        )
     bpad = (-l) % 8
-    qpad = (-qb) % 512
+    width = qc or qb
+    qpad = (-width) % 512
     meta_t = jnp.pad(meta, ((0, bpad), (0, qpad))).T
     val_t = jnp.pad(val, ((0, bpad), (0, qpad))).T
     bp = l + bpad
-    qbp = qb + qpad
+    qbp = width + qpad
     heads_p = jnp.zeros(bp, bool).at[0].set(True)  # one chain
 
     def propagate(out_p, out_s, pu, sw):
@@ -229,7 +287,7 @@ def _decode_window_lanes(regions, seg_lens, prev0, seen_col0, max_chain,
         (init_p, init_s, init_e, prev0[0], seen_col0,
          jnp.array(False), jnp.int32(0)),
     )
-    emits = emits_t.T[:l, :qb]
+    emits = emits_t.T[:l, :width]
     base = place_kernel.window_base_rows(pix_before, n_cap)
     packed = place_kernel.place_fill(pix_before, emits, base, n_cap)
     return packed, n_pix, consumed, fin_p[None], fin_s, rounds
@@ -283,23 +341,26 @@ class SplitDecoder:
         """Upload a plan_and_pack host plan — see
         PackedDecoder.stage_plan for the worker-thread rationale."""
         (regions, heads, chunks_sizes, where, descs, qb, n_cap,
-         max_chain) = plan
+         max_chain, qc) = plan
         return (jnp.asarray(regions), jnp.asarray(heads),
                 jnp.asarray(chunks_sizes), jnp.int32(max_chain),
-                where, descs, qb, n_cap)
+                where, descs, qb, n_cap, qc)
 
     def dispatch_staged(self, staged):
         (regions, heads, chunks_sizes, max_chain, where, descs, qb,
-         n_cap) = staged
+         n_cap, qc) = staged
         packed, rounds = _decode_split_lanes(
-            regions, heads, chunks_sizes, max_chain, qb=qb, n_cap=n_cap
+            regions, heads, chunks_sizes, max_chain, qb=qb, n_cap=n_cap,
+            qc=qc,
         )
         return packed, where, descs, rounds
 
     def plan_and_pack(self, blobs: Sequence):
         """Host staging: native chunk-walk split per stream, one segment
         per lane.  Returns (regions (L, qb+8) u8, heads (L,) bool,
-        chunks_sizes (L,) i32, where, descs, qb, n_cap, max_chain)."""
+        chunks_sizes (L,) i32, where, descs, qb, n_cap, max_chain, qc —
+        the static chunk-compaction cap, 0 when the byte domain is
+        denser-than-worthwhile)."""
         arrs = [
             np.frombuffer(bytes(x), np.uint8)
             if not isinstance(x, np.ndarray) else x
@@ -335,24 +396,29 @@ class SplitDecoder:
             # DIFF/LUMA content (see the walker's docstring); the
             # lookahead budget bounds the balance skew at ~25%/segment
             lookahead = max(sizes[i] // max(n_segs[i], 1) // 4, 64)
-            offs, poffs = oracle.split_points(
+            offs, poffs, cis = oracle.split_points(
                 a[14 : 14 + sizes[i]], pxs[i], n_segs[i], byte_w, px_w,
                 lookahead=lookahead,
                 prefer_rgba=int(descs[i].channels) == 4,
             )
-            plans.append((i, offs, poffs))
+            plans.append((i, offs, poffs, cis))
 
         seg_bytes = [
             int(offs[k + 1] - offs[k])
-            for _, offs, _ in plans for k in range(len(offs) - 1)
+            for _, offs, _, _ in plans for k in range(len(offs) - 1)
         ]
         seg_px = [
             int(poffs[k + 1] - poffs[k])
-            for _, _, poffs in plans for k in range(len(poffs) - 1)
+            for _, _, poffs, _ in plans for k in range(len(poffs) - 1)
+        ]
+        seg_chunks = [
+            int(cis[k + 1] - cis[k])
+            for _, _, _, cis in plans for k in range(len(cis) - 1)
         ]
         gran = 8 * boundary.BLOCK
         qb = _bucket_mult(max(max(seg_bytes), gran), gran)
         n_cap = _bucket_mult(max(max(seg_px), 1), place_kernel.WIN)
+        qc = _compact_cap(max(seg_chunks), qb)
 
         l_ne = _round_up(len(seg_bytes), 8)  # bounded compile-shape set
         regions = np.zeros((l_ne, qb + 8), np.uint8)
@@ -362,7 +428,7 @@ class SplitDecoder:
         where: List[List[Tuple[int, int, int]]] = [[] for _ in arrs]
         lane = 0
         max_chain = 1
-        for i, offs, poffs in plans:
+        for i, offs, poffs, _ in plans:
             body = arrs[i][14 : 14 + sizes[i]]
             nseg = len(offs) - 1
             max_chain = max(max_chain, nseg)
@@ -374,4 +440,4 @@ class SplitDecoder:
                 where[i].append((lane, int(poffs[k]), int(poffs[k + 1])))
                 lane += 1
         return (regions, heads, chunks_sizes, where, descs, qb, n_cap,
-                max_chain)
+                max_chain, qc)

@@ -84,7 +84,13 @@ class DeviceStreamDecoder:
     """
 
     def __init__(self, window_cap: int = 1 << 20,
-                 pixel_cap: Optional[int] = None, split_lanes: int = 64):
+                 pixel_cap: Optional[int] = None, split_lanes: int = 96):
+        # split_lanes=96 is the measured optimum on the 4 MPix/window
+        # sweep (benchmarks/device_stream_bench.py, round 4): fixpoint
+        # rounds grow ~linearly with lane count (the seam dependency is
+        # a content-bound INDEX-of-INDEX chain, ~1-2 lanes/round front),
+        # so per-round depth x rounds is flat-ish — 96 edges out 64/128
+        # (339 vs 300/322 MPix/s) on the gradient-heavy worst case.
         from . import place_kernel
 
         self.window_cap = _round_up(window_cap, boundary.BLOCK)
@@ -121,7 +127,7 @@ class DeviceStreamDecoder:
         """Split one byte window across lanes and decode it; returns
         (pixel parts list, consumed bytes) and advances the carry."""
         from .. import oracle
-        from ..models.split import _decode_window_lanes
+        from ..models.split import _compact_cap, _decode_window_lanes
         from . import place_kernel
         from .decode import _bucket
 
@@ -129,7 +135,7 @@ class DeviceStreamDecoder:
         # at least ~512 B per segment: tiny windows take few/one lane
         k = min(self.split_lanes, max(len(win) // 512, 1))
         byte_w, px_w = 46.0 + 2.45 * k, 0.27 * k
-        offs, poffs = oracle.split_points(
+        offs, poffs, cis = oracle.split_points(
             warr, 1 << 60, k, byte_w, px_w,
             lookahead=max(len(win) // k // 4, 64),
             prefer_rgba=int(self._desc.channels) == 4,
@@ -144,6 +150,7 @@ class DeviceStreamDecoder:
             max(int(np.diff(poffs).max()), 1), place_kernel.WIN
         )
         n_cap = _bucket(n_cap, place_kernel.WIN)
+        qc = _compact_cap(int(np.diff(cis).max()), qseg)
         regions = np.zeros((l, qseg + 8), np.uint8)
         seg_lens = np.zeros(l, np.int32)
         for s in range(nseg):
@@ -153,6 +160,7 @@ class DeviceStreamDecoder:
         packed, n_pix, consumed, prev, seen, _rounds = _decode_window_lanes(
             jnp.asarray(regions), jnp.asarray(seg_lens),
             self._prev, self._seen, jnp.int32(l), qb=qseg, n_cap=n_cap,
+            qc=qc,
         )
         n_pix_h = np.asarray(n_pix)
         cons_h = np.asarray(consumed)

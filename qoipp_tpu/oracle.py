@@ -157,6 +157,7 @@ def _load() -> ctypes.CDLL:
             ctypes.c_double, ctypes.c_double,
             ctypes.c_uint64, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint64),
         ]
 
         _lib = lib
@@ -280,27 +281,33 @@ def split_points(body, n_px: int, n_segments: int,
                  byte_w: float = 1.0, px_w: float = 0.0,
                  lookahead: int = 0, prefer_rgba: bool = False):
     """Walk a QOI body's chunk sequence (bytes after the header, length
-    stream_size - 22) and return (byte_offsets, px_offsets): n+1-entry
-    arrays of cost-balanced segment boundaries, every one ON a chunk
-    boundary.  Cost per chunk = byte_w * bytes + px_w * pixels.  With
+    stream_size - 22) and return (byte_offsets, px_offsets, chunk_ordinals):
+    n+1-entry arrays of cost-balanced segment boundaries, every one ON a
+    chunk boundary.  Cost per chunk = byte_w * bytes + px_w * pixels.  With
     lookahead > 0, each cut slides (up to that many bytes) to the next
     OP_RGB/OP_RGBA chunk, so segments open with an absolute-color write —
     the anchor that makes the split-replay seam fixpoint (models/split.py)
     converge in O(1) rounds; prefer_rgba targets OP_RGBA (alpha-varying
-    streams).  The host-side planner of the device split-replay engine."""
+    streams).  chunk_ordinals[k] is segment k's first chunk's index in the
+    stream's chunk sequence (diff = per-segment chunk counts — the static
+    cap of the device-side chunk-domain compaction).  The host-side planner
+    of the device split-replay engine."""
     lib = _load()
     arr = _np_u8(body)
     offs = np.zeros(n_segments + 1, dtype=np.uint64)
     pxs = np.zeros(n_segments + 1, dtype=np.uint64)
+    cis = np.zeros(n_segments + 1, dtype=np.uint64)
     n = lib.qoiref_split_points(
         _ptr(arr), arr.size, n_px, n_segments,
         ctypes.c_double(byte_w), ctypes.c_double(px_w),
         lookahead, 1 if prefer_rgba else 0,
         offs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         pxs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        cis.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
     )
     n = int(n)
-    return offs[: n + 1].astype(np.int64), pxs[: n + 1].astype(np.int64)
+    return (offs[: n + 1].astype(np.int64), pxs[: n + 1].astype(np.int64),
+            cis[: n + 1].astype(np.int64))
 
 
 def pack_files(paths, row: int):

@@ -85,7 +85,7 @@ def test_split_planner_segments_on_chunk_boundaries():
     raw = _mixed_image(rng, 400, 300, 3)
     enc, _ = oracle.encode(raw, Desc(400, 300, Channels.RGB))
     dec = SplitDecoder(lanes=32)
-    regions, heads, chunks_sizes, where, descs, qb, n_cap, max_chain = (
+    regions, heads, chunks_sizes, where, descs, qb, n_cap, max_chain, qc = (
         dec.plan_and_pack([enc])
     )
     segs = where[0]

@@ -63,7 +63,10 @@ def _compact_cap(max_chunks: int, qb: int) -> int:
     pays when the chunk domain is actually shorter than the byte domain
     (mean chunk length ~1: dense noise streams gain nothing)."""
     qc = _bucket_mult(max_chunks + ck.BLK + 128, 512)
-    return qc if qc < qb else 0
+    # demand a real saving: the compaction pass itself costs ~one sweep of
+    # the byte planes, so a <25% depth cut is a measured wash (round-3
+    # batch ablation at ~1.3 B/chunk)
+    return qc if 4 * qc <= 3 * qb else 0
 
 
 def _compact_chunks(meta, val, pix_before, keep, n_cap: int, qc: int):

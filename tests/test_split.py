@@ -99,3 +99,53 @@ def test_split_planner_segments_on_chunk_boundaries():
     # lanes' byte loads are balanced within ~2x
     loads = [int(chunks_sizes[s[0]]) for s in segs]
     assert max(loads) <= 2 * max(min(loads), 1)
+
+
+def test_split_chunk_compaction_engages_and_stays_exact():
+    # Run-heavy content (mean chunk length ~ tens of bytes/chunk) must take
+    # the compacted chunk-domain path (qc > 0) and stay bit-exact; the
+    # same content forced through the byte domain (qc=0 gate for dense
+    # streams) must agree.  Guards the _compact_chunks masking conventions
+    # (NOPK metas, pb = n_cap never-write rows) on both engines.
+    from qoipp_tpu.models.split import _decode_split_lanes
+
+    rng = np.random.default_rng(4)
+    n = 400 * 300
+    # 8-pixel runs: ~2.5 bytes/chunk (RUN + OP_RGB per group) — sparse
+    # enough that chunk count + the compact kernel's write-window slack
+    # stays under the byte depth at 8 lanes
+    raw = np.repeat(
+        rng.integers(0, 256, (n // 8 + 1, 3), dtype=np.uint8), 8, axis=0
+    ).reshape(-1)[: n * 3].copy()
+    desc = Desc(400, 300, Channels.RGB)
+    enc, _ = oracle.encode(raw, desc)
+    dec = SplitDecoder(lanes=8)
+    plan = dec.plan_and_pack([enc])
+    qc = plan[8]
+    assert qc > 0, "run-heavy stream should engage chunk compaction"
+    got = dec.decode([enc])
+    assert np.array_equal(got[0], raw)
+    # byte-domain forcing: same plan, qc=0 — the two domains must agree on
+    # every REAL pixel (tail rows beyond a lane's span may differ: the
+    # fill repeats the last emitted value from different pad conventions)
+    staged = dec.stage_plan(plan[:8] + (0,))
+    packed0, where, descs, _ = dec.dispatch_staged(staged)
+    packedc, _, _, _ = dec.dispatch_staged(dec.stage_plan(plan))
+    p0, pc = np.asarray(packed0), np.asarray(packedc)
+    for lane, a, b in where[0]:
+        assert np.array_equal(p0[lane, : b - a], pc[lane, : b - a]), lane
+
+
+def test_split_dense_stream_gates_to_byte_domain():
+    # Palette-cycling content encodes as ~1-byte INDEX chunks: the chunk
+    # domain is as long as the byte domain (plus the compact kernel's
+    # slack), so the planner must keep qc = 0 (the dense gate).
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, (48, 3)).astype(np.uint8)
+    raw = pal[rng.integers(0, 48, 200 * 160)].reshape(-1)
+    enc, _ = oracle.encode(raw, Desc(200, 160, Channels.RGB))
+    dec = SplitDecoder(lanes=8)
+    plan = dec.plan_and_pack([enc])
+    assert plan[8] == 0
+    got = dec.decode([enc])
+    assert np.array_equal(got[0], raw)

@@ -160,12 +160,55 @@ def fuzz_split(rng, max_px=90_000):
         f"split decode divergence: {desc}, lanes={dec.lanes}"
 
 
+def fuzz_device_window(rng, max_px=60_000):
+    """Device windowed streaming decoder (ops/device_stream): random window
+    sizes tear chunks at arbitrary byte positions; the carried (prev,
+    table) state and the torn-tail re-feed must stay exact — including
+    when the split-lane compaction gate flips between windows."""
+    from qoipp_tpu.ops.device_stream import DeviceStreamDecoder
+
+    w = int(rng.integers(40, 300))
+    h = max(min(int(rng.integers(40, 300)), max_px // w), 8)
+    ch = q.Channels.RGBA if rng.random() < 0.5 else q.Channels.RGB
+    desc = q.Desc(w, h, ch)
+    n = w * h * int(ch)
+    mode = rng.random()
+    if mode < 0.35:  # runs (sparse chunk domain: compaction engages)
+        rep = int(rng.integers(4, 40))
+        raw = np.repeat(
+            rng.integers(0, 256, (n // rep + 1,), dtype=np.uint8), rep
+        )[:n].copy()
+    elif mode < 0.65:  # palette (dense: gate off)
+        pal = rng.integers(0, 256, (int(rng.integers(3, 50)), int(ch)),
+                           dtype=np.uint8)
+        raw = pal[rng.integers(0, len(pal), w * h)].reshape(-1)
+    else:  # gradient
+        raw = (np.cumsum(rng.integers(-2, 3, n)) % 256).astype(np.uint8)
+    enc, _ = oracle.encode(raw, desc)
+    win = int(rng.integers(600, 60_000))
+    dec = DeviceStreamDecoder(
+        window_cap=win + 1024, pixel_cap=-(-w * h // 8192) * 8192,
+        split_lanes=int(rng.integers(2, 24)),
+    )
+    assert dec.initialize(enc[:14])
+    body = enc[14:-8]
+    parts = []
+    for s in range(0, body.size, win):
+        r = dec.decode_window(body[s : s + win])
+        assert r, r.error()
+        parts.append(r.value())
+    got = np.concatenate([p for p in parts if p.size] or [np.zeros(0, np.uint8)])
+    assert np.array_equal(got, raw), \
+        f"device window divergence: {desc}, win={win}, lanes={dec.split_lanes}"
+
+
 FUZZERS = {
     "decode": fuzz_decode,
     "truncated": fuzz_truncated,
     "encode": fuzz_encode_roundtrip,
     "stream": fuzz_stream,
     "split": fuzz_split,
+    "window": fuzz_device_window,
 }
 
 

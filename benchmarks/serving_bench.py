@@ -42,6 +42,15 @@ def _sync_decode_plan(plan):
         np.asarray(dev[0, 0])
 
 
+def _sync_encode_plan(plan):
+    """Tiny dependent fetch on every device output of an encode plan."""
+    _, packed_parts, bucket_parts = plan
+    for _, (out, *_rest) in packed_parts:
+        np.asarray(out[0, 0])
+    for _, streams, _, _, _ in bucket_parts:
+        np.asarray(streams[0, 0])
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicate", type=int, default=8)
@@ -147,6 +156,36 @@ def main():
     ok_enc = all(np.array_equal(s, r) for s, r in zip(streams, refs))
     print(f"serving encode parity: {'100%' if ok_enc else 'FAILED'}",
           file=sys.stderr)
+
+    # serve (HBM-resident byte lanes): plan + stage + dispatch + completion
+    t0 = time.perf_counter()
+    for _ in range(args.runs):
+        plan_e = codec.encode_dispatch(raws, descs)
+        _sync_encode_plan(plan_e)
+    t_eserve = max((time.perf_counter() - t0) / args.runs - rtt, 1e-9)
+    print(f"serving encode (HBM-resident): {total_px/t_eserve/1e6:.1f} "
+          f"MPix/s ({t_eserve*1e3:.0f} ms)")
+
+    # device execution alone (inputs pre-staged in HBM)
+    estaged = codec.encode_stage(raws, descs)
+    for _, s in estaged[1]:
+        np.asarray(s[0][0, 0])  # force packed-tier uploads
+    for _, _, batch_d, _ in estaged[2]:
+        np.asarray(batch_d[0, 0])
+    t0 = time.perf_counter()
+    for _ in range(args.runs):
+        _sync_encode_plan(codec.encode_dispatch_staged(estaged))
+    t_eexec = max((time.perf_counter() - t0) / args.runs - rtt, 1e-9)
+    print(f"serving encode device-exec (pre-staged): "
+          f"{total_px/t_eexec/1e6:.1f} MPix/s ({t_eexec*1e3:.0f} ms)")
+
+    t0 = time.perf_counter()
+    codec.encode_finish(plan_e)
+    t_efetch = time.perf_counter() - t0
+    print(f"  fetch+assemble: {t_efetch*1e3:.0f} ms "
+          f"({total_px/t_efetch/1e6:.1f} MPix/s; D2H-bound)",
+          file=sys.stderr)
+
     t0 = time.perf_counter()
     for _ in range(args.runs):
         codec.encode(raws, descs)

@@ -520,25 +520,54 @@ class PackedEncoder:
                descs: Sequence[Desc]) -> List[np.ndarray]:
         """Raw pixel buffers + Descs -> list of complete QOI streams
         (header + body), submission order."""
-        packed, flags, where, caps = self.plan_and_pack(raws, descs)
-        chunk_cap = caps["chunk_cap"]
-        out_cap = caps["out_cap"]
-        ends_cap = caps["ends_cap"]
-        safe_chunk = caps["safe_chunk"]
-        safe_out = caps["safe_out"]
+        return self.finish(self.dispatch_staged(
+            self.stage_to_device(raws, descs)
+        ))
 
-        packed_d = jnp.asarray(packed)
-        flags_d = jnp.asarray(flags)
+    def stage_to_device(self, raws: Sequence[np.ndarray],
+                        descs: Sequence[Desc]):
+        """Plan + upload only (no compute dispatched) — the encode analog
+        of PackedDecoder.stage_to_device."""
+        return self.stage_plan(self.plan_and_pack(raws, descs) + (descs,))
+
+    @staticmethod
+    def stage_plan(plan):
+        """Upload a plan_and_pack host plan (+ descs) to the device.  The
+        transport copy releases the GIL (worker-thread overlap, see
+        PackedDecoder.stage_plan)."""
+        packed, flags, where, caps, descs = plan
+        return (jnp.asarray(packed), jnp.asarray(flags), where, caps, descs)
+
+    @staticmethod
+    def dispatch_staged(staged):
+        """Dispatch the encode kernels on a staged plan; returns
+        (out, ends, nseg, ok device arrays, staged, where, descs) with the
+        byte lanes HBM-resident.  OPTIMISTIC: the checked-cap flag is not
+        fetched here (a sync costs a ~48 ms transport round trip PER TIER
+        on the tunnel); finish() validates it and re-dispatches once at
+        the safe bounds if dense content tripped the fractional caps —
+        typical content never does (3 B/chunk covers photo/DIFF/LUMA
+        mixes; only RGBA-noise exceeds it)."""
+        packed_d, flags_d, where, caps, descs = staged
         out, ends, nseg, ok = enc_ops.encode_lanes_checked(
             packed_d, flags_d,
-            chunk_cap=chunk_cap, out_cap=out_cap, ends_cap=ends_cap,
+            chunk_cap=caps["chunk_cap"], out_cap=caps["out_cap"],
+            ends_cap=caps["ends_cap"],
         )
+        return out, ends, nseg, ok, staged, where, descs
+
+    @staticmethod
+    def finish(dispatched) -> List[np.ndarray]:
+        """Fetch + slice a dispatch_staged result into complete QOI
+        streams (header + body), submission order.  Performs the
+        checked-cap retry at the safe bounds when needed."""
+        out, ends, nseg, ok, staged, where, descs = dispatched
         if not bool(jnp.all(ok)):
-            # dense content tripped the fractional caps: one retry at the
-            # safe bounds (guaranteed to fit any valid input)
+            packed_d, flags_d, _, caps, _ = staged
             out, ends, nseg, ok = enc_ops.encode_lanes_checked(
                 packed_d, flags_d,
-                chunk_cap=safe_chunk, out_cap=safe_out, ends_cap=ends_cap,
+                chunk_cap=caps["safe_chunk"], out_cap=caps["safe_out"],
+                ends_cap=caps["ends_cap"],
             )
             if not bool(jnp.all(ok)):
                 raise AssertionError(

@@ -299,36 +299,111 @@ class ServingCodec:
                descs: Sequence[Desc]) -> List[np.ndarray]:
         """Raw pixel buffers + Descs (ANY geometries/channels) -> list of
         complete QOI streams, submission order."""
+        return self.encode_finish(self.encode_dispatch(raws, descs))
+
+    def _encode_plan(self, raws: Sequence[np.ndarray],
+                     descs: Sequence[Desc]):
+        """Shared host planning for the encode paths: tier the packable
+        images (pixels drive every encode-lane cost), group the rest by
+        geometry for the bucketed batch engine."""
         if len(raws) != len(descs):
             raise ValueError("raws and descs length mismatch")
         raws = [np.asarray(r, np.uint8).reshape(-1) for r in raws]
-        results: List[Optional[np.ndarray]] = [None] * len(raws)
-
         packable = [
             i for i, d in enumerate(descs)
             if d.width * d.height + 2 <= self._enc_pack.lane_px
         ]
-        # same size-tiering as decode (pixels drive every encode-lane
-        # cost: slots, chunk caps, byte caps)
         t = {i: descs[i].width * descs[i].height for i in packable}
-        for tier in _size_tiers(packable, t, self.DEC_TIER_SPAN,
-                                self.DEC_TIER_MIN):
-            got = self._enc_pack.encode(
-                [raws[i] for i in tier], [descs[i] for i in tier]
-            )
-            for i, stream in zip(tier, got):
-                results[i] = stream
-
-        rest = [i for i in range(len(raws)) if results[i] is None]
+        tiers = _size_tiers(packable, t, self.DEC_TIER_SPAN,
+                            self.DEC_TIER_MIN)
+        rest = [i for i in range(len(raws)) if i not in set(packable)]
         by_geom: Dict[Tuple[int, int, int], List[int]] = {}
         for i in rest:
             d = descs[i]
             by_geom.setdefault(
                 (d.width, d.height, int(d.channels)), []
             ).append(i)
+        return raws, tiers, by_geom
+
+    def encode_dispatch(self, raws: Sequence[np.ndarray],
+                        descs: Sequence[Desc]):
+        """Stage + dispatch every encode engine; the emitted byte lanes
+        stay HBM-resident (the encode analog of decode_dispatch).
+        encode_finish() fetches and reassembles complete streams."""
+        return self.encode_dispatch_staged(self.encode_stage(raws, descs))
+
+    def encode_stage(self, raws: Sequence[np.ndarray],
+                     descs: Sequence[Desc]):
+        """Plan + upload every encode engine's inputs WITHOUT dispatching
+        compute — pair with encode_dispatch_staged (the overlap point and
+        the device-exec measurement form, as decode_stage)."""
+        import jax.numpy as jnp
+
+        from .scheduler import _pad_b
+
+        raws, tiers, by_geom = self._encode_plan(raws, descs)
+        packed_staged = [
+            (tier, self._enc_pack.stage_to_device(
+                [raws[i] for i in tier], [descs[i] for i in tier]))
+            for tier in tiers
+        ]
+        bucket_staged = []
         for key, idxs in by_geom.items():
             codec = self._bucket(descs[idxs[0]])
-            streams = codec.encode(np.stack([raws[i] for i in idxs]))
+            d = descs[idxs[0]]
+            worst = (int(d.channels) + 1) * d.width * d.height + 22
+            pipe = codec._pipe(codec._bucket_len(worst))
+            bp = _pad_b(len(idxs))
+            batch = np.zeros((bp, raws[idxs[0]].size), np.uint8)
             for j, i in enumerate(idxs):
-                results[i] = streams[j]
+                batch[j] = raws[i]
+            bucket_staged.append(
+                (idxs, pipe, jnp.asarray(batch), descs[idxs[0]])
+            )
+        return len(raws), packed_staged, bucket_staged
+
+    def encode_dispatch_staged(self, staged):
+        """Dispatch an encode_stage plan; returns the encode_finish-ready
+        plan with HBM-resident byte lanes."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.bitops import pixels_to_packed
+
+        n, packed_staged, bucket_staged = staged
+        packed_parts = [
+            (idxs, self._enc_pack.dispatch_staged(s))
+            for idxs, s in packed_staged
+        ]
+        bucket_parts = []
+        for idxs, pipe, batch_d, d in bucket_staged:
+            packed = jax.vmap(
+                lambda r: pixels_to_packed(r, int(d.channels))
+            )(batch_d)
+            pad = pipe.nb - pipe.n_px
+            if pad:
+                packed = jnp.pad(packed, ((0, 0), (0, pad)))
+            streams, lengths, ok = pipe.encode_packed_checked(packed)
+            bucket_parts.append((idxs, streams, lengths, ok, d))
+        return n, packed_parts, bucket_parts
+
+    def encode_finish(self, dispatched) -> List[np.ndarray]:
+        """Fetch an encode_dispatch plan's device results and reassemble
+        complete QOI streams in submission order."""
+        n, packed_parts, bucket_parts = dispatched
+        results: List[Optional[np.ndarray]] = [None] * n
+        for tier, disp in packed_parts:
+            for i, stream in zip(tier, self._enc_pack.finish(disp)):
+                results[i] = stream
+        for idxs, streams, lengths, ok, d in bucket_parts:
+            lengths = np.asarray(lengths)
+            okh = np.asarray(ok)
+            # the bucket is sized from worst_size, so a checked-flag trip
+            # is a bug, not an overflowable configuration
+            assert bool(okh[: len(idxs)].all()), \
+                "bucketed encode overflowed its worst-size bucket"
+            used = int(lengths[: len(idxs)].max(initial=1))
+            host = np.asarray(streams[:, : -(-used // 128) * 128])
+            for j, i in enumerate(idxs):
+                results[i] = host[j, : lengths[j]].copy()
         return results  # type: ignore[return-value]

@@ -170,3 +170,24 @@ def test_decode_stage_then_dispatch_parity():
     got = codec.decode_finish(codec.decode_dispatch_staged(staged))
     for (raw, d), g in zip(corpus, got):
         assert np.array_equal(g, raw), f"{d.width}x{d.height} staged mismatch"
+
+
+def test_encode_stage_then_dispatch_parity():
+    """encode_stage / encode_dispatch_staged / encode_finish equals the
+    direct encode() and the oracle byte-for-byte, across packed tiers AND
+    the bucketed over-cap geometry groups."""
+    corpus = make_corpus(seed=7, n=14)
+    # pack_lane_px small enough that the 96x64 and 120x80 images route to
+    # the bucketed branch (the geometry groups), not just packed tiers
+    codec = ServingCodec(pack_lane_bytes=8 << 10, min_len=1 << 12,
+                         pack_lane_px=4096)
+    raws = [r for r, _ in corpus]
+    descs = [d for _, d in corpus]
+    want = [oracle.encode(r, d)[0] for r, d in corpus]
+    staged = codec.encode_stage(raws, descs)
+    got = codec.encode_finish(codec.encode_dispatch_staged(staged))
+    for w, g, d in zip(want, got, descs):
+        assert np.array_equal(g, w), f"{d.width}x{d.height} staged encode"
+    direct = codec.encode(raws, descs)
+    for w, g in zip(want, direct):
+        assert np.array_equal(g, w)

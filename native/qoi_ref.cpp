@@ -632,6 +632,11 @@ u64 qoiref_pack_files(const char** paths, u64 n, u8* out, u64 row,
 // null.  Returns the number of segments produced (<= n_segments; empty
 // segments are never emitted).
 //
+// chunk_w adds a per-CHUNK cost term (cost = byte_w*bytes + chunk_w +
+// px_w*pixels): with the chunk-domain compaction engaged, a lane's replay
+// depth is its CHUNK count, not its byte count — callers re-walk with
+// chunk_w set (and byte_w ~ 0) to balance the compacted depth.
+//
 // ANCHORING: after a cost threshold crossing the cut slides forward (up to
 // `lookahead` bytes) to the next OP_RGB/OP_RGBA chunk, so the segment
 // OPENS with an absolute-color write.  This is what makes the device-side
@@ -652,7 +657,8 @@ u64 qoiref_pack_files(const char** paths, u64 n, u8* out, u64 row,
 u64 qoiref_split_points(const u8* body, u64 chunks_size, u64 n_px,
                         u64 n_segments, double byte_w, double px_w,
                         u64 lookahead, int prefer_rgba,
-                        u64* offsets_out, u64* px_out, u64* chunks_out) {
+                        u64* offsets_out, u64* px_out, u64* chunks_out,
+                        double chunk_w) {
   if (n_segments == 0) return 0;
   auto chunk_len = [](u8 tag) -> u64 {
     if (tag == TAG_RGB) return 4;
@@ -675,7 +681,7 @@ u64 qoiref_split_points(const u8* body, u64 chunks_size, u64 n_px,
       const u64 len = chunk_len(tag);
       u64 npx = chunk_px(tag);
       if (px + npx > n_px) npx = (n_px > px) ? n_px - px : 0;
-      total += byte_w * (double)len + px_w * (double)npx;
+      total += byte_w * (double)len + chunk_w + px_w * (double)npx;
       pos += len;
       px += npx;
     }
@@ -739,7 +745,7 @@ u64 qoiref_split_points(const u8* body, u64 chunks_size, u64 n_px,
     const u64 len = chunk_len(tag);
     u64 npx = chunk_px(tag);
     if (px + npx > n_px) npx = (n_px > px) ? n_px - px : 0;
-    acc += byte_w * (double)len + px_w * (double)npx;
+    acc += byte_w * (double)len + chunk_w + px_w * (double)npx;
     pos += len;
     px += npx;
     ++ci;

@@ -392,41 +392,54 @@ class SplitDecoder:
         while sum(n_segs) > L:  # rounding overshoot: trim the largest
             n_segs[int(np.argmax(n_segs))] -= 1
 
-        plans = []  # (stream idx, byte offsets, px offsets)
-        for i, a in enumerate(arrs):
-            # anchored cuts: segments open with an OP_RGB/OP_RGBA chunk
-            # so the seam fixpoint converges in O(1) rounds on smooth
-            # DIFF/LUMA content (see the walker's docstring); the
-            # lookahead budget bounds the balance skew at ~25%/segment
-            lookahead = max(sizes[i] // max(n_segs[i], 1) // 4, 64)
-            offs, poffs, cis = oracle.split_points(
-                a[14 : 14 + sizes[i]], pxs[i], n_segs[i], byte_w, px_w,
-                lookahead=lookahead,
-                prefer_rgba=int(descs[i].channels) == 4,
-            )
-            plans.append((i, offs, poffs, cis))
+        def _walk(chunk_w=0.0, bw=byte_w):
+            plans = []  # (stream idx, byte offsets, px offsets, ordinals)
+            for i, a in enumerate(arrs):
+                # anchored cuts: segments open with an OP_RGB/OP_RGBA
+                # chunk so the seam fixpoint converges in O(1) rounds on
+                # smooth DIFF/LUMA content (see the walker's docstring);
+                # the lookahead budget bounds the balance skew
+                lookahead = max(sizes[i] // max(n_segs[i], 1) // 4, 64)
+                offs, poffs, cis = oracle.split_points(
+                    a[14 : 14 + sizes[i]], pxs[i], n_segs[i], bw, px_w,
+                    lookahead=lookahead,
+                    prefer_rgba=int(descs[i].channels) == 4,
+                    chunk_w=chunk_w,
+                )
+                plans.append((i, offs, poffs, cis))
+            return plans
 
-        seg_bytes = [
-            int(offs[k + 1] - offs[k])
-            for _, offs, _, _ in plans for k in range(len(offs) - 1)
-        ]
-        seg_px = [
-            int(poffs[k + 1] - poffs[k])
-            for _, _, poffs, _ in plans for k in range(len(poffs) - 1)
-        ]
-        seg_chunks = [
-            int(cis[k + 1] - cis[k])
-            for _, _, _, cis in plans for k in range(len(cis) - 1)
-        ]
-        gran = 8 * boundary.BLOCK
-        qb = _bucket_mult(max(max(seg_bytes), gran), gran)
-        n_cap = _bucket_mult(max(max(seg_px), 1), place_kernel.WIN)
-        qc = _compact_cap(max(seg_chunks), qb)
+        def _caps(plans):
+            seg_bytes = [
+                int(offs[k + 1] - offs[k])
+                for _, offs, _, _ in plans for k in range(len(offs) - 1)
+            ]
+            seg_px = [
+                int(poffs[k + 1] - poffs[k])
+                for _, _, poffs, _ in plans for k in range(len(poffs) - 1)
+            ]
+            seg_chunks = [
+                int(cis[k + 1] - cis[k])
+                for _, _, _, cis in plans for k in range(len(cis) - 1)
+            ]
+            gran = 8 * boundary.BLOCK
+            qb = _bucket_mult(max(max(seg_bytes), gran), gran)
+            n_cap = _bucket_mult(max(max(seg_px), 1), place_kernel.WIN)
+            return len(seg_bytes), qb, n_cap, _compact_cap(max(seg_chunks),
+                                                           qb)
 
-        l_ne = _round_up(len(seg_bytes), 8)  # bounded compile-shape set
+        # One byte+px-balanced walk.  A chunk-weighted RE-walk when
+        # compaction engages was measured WORSE on chip (500 vs 658
+        # MPix/s at L=64): the +-15% qc it can shave is dominated by
+        # fixpoint-round drift from the moved cut positions (rounds
+        # 15 -> 19); see docs/BACKLOG.md round-4 closed experiments.
+        plans = _walk()
+        n_lanes, qb, n_cap, qc = _caps(plans)
+
+        l_ne = _round_up(n_lanes, 8)  # bounded compile-shape set
         regions = np.zeros((l_ne, qb + 8), np.uint8)
         heads = np.zeros(l_ne, bool)
-        heads[len(seg_bytes):] = True  # padded lanes: their own chains
+        heads[n_lanes:] = True  # padded lanes: their own chains
         chunks_sizes = np.zeros(l_ne, np.int32)
         where: List[List[Tuple[int, int, int]]] = [[] for _ in arrs]
         lane = 0

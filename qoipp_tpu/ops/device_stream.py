@@ -143,14 +143,16 @@ class DeviceStreamDecoder:
         nseg = len(offs) - 1
         if int(poffs[-1]) > self.pixel_cap:
             return None, 0  # caller maps to NOT_ENOUGH_SPACE
+        # byte+px-balanced cuts; a chunk-weighted re-walk when compaction
+        # engages was measured WORSE (fixpoint-round drift from moved cut
+        # positions beats the qc shave — docs/BACKLOG.md round 4)
+        qseg = _bucket(int(np.diff(offs).max()), 8 * boundary.BLOCK)
+        qc = _compact_cap(int(np.diff(cis).max()), qseg)
         l = _round_up(nseg, 8)
-        seg_bytes = np.diff(offs)
-        qseg = _bucket(int(seg_bytes.max()), 8 * boundary.BLOCK)
         n_cap = _round_up(
             max(int(np.diff(poffs).max()), 1), place_kernel.WIN
         )
         n_cap = _bucket(n_cap, place_kernel.WIN)
-        qc = _compact_cap(int(np.diff(cis).max()), qseg)
         regions = np.zeros((l, qseg + 8), np.uint8)
         seg_lens = np.zeros(l, np.int32)
         for s in range(nseg):

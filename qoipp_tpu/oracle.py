@@ -157,7 +157,7 @@ def _load() -> ctypes.CDLL:
             ctypes.c_double, ctypes.c_double,
             ctypes.c_uint64, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
-            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_double,
         ]
 
         _lib = lib
@@ -279,11 +279,13 @@ class NativeStreamState:
 
 def split_points(body, n_px: int, n_segments: int,
                  byte_w: float = 1.0, px_w: float = 0.0,
-                 lookahead: int = 0, prefer_rgba: bool = False):
+                 lookahead: int = 0, prefer_rgba: bool = False,
+                 chunk_w: float = 0.0):
     """Walk a QOI body's chunk sequence (bytes after the header, length
     stream_size - 22) and return (byte_offsets, px_offsets, chunk_ordinals):
     n+1-entry arrays of cost-balanced segment boundaries, every one ON a
-    chunk boundary.  Cost per chunk = byte_w * bytes + px_w * pixels.  With
+    chunk boundary.  Cost per chunk = byte_w * bytes + chunk_w + px_w *
+    pixels (chunk_w balances the compacted chunk-domain replay depth).  With
     lookahead > 0, each cut slides (up to that many bytes) to the next
     OP_RGB/OP_RGBA chunk, so segments open with an absolute-color write —
     the anchor that makes the split-replay seam fixpoint (models/split.py)
@@ -304,6 +306,7 @@ def split_points(body, n_px: int, n_segments: int,
         offs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         pxs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         cis.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ctypes.c_double(chunk_w),
     )
     n = int(n)
     return (offs[: n + 1].astype(np.int64), pxs[: n + 1].astype(np.int64),

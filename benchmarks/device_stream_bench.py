@@ -148,7 +148,9 @@ def main():
         out = jax.block_until_ready(run(r_d, s_d, prev0, seen0))
         n_pix_w = int(np.asarray(out[1]).sum())
         rounds = int(out[5])
-        t = device_time_ms(run, r_d, s_d, prev0, seen0, runs=6)
+        # RTT subtraction can go non-positive under concurrent host load —
+        # clamp (and treat such runs as suspect; re-run on a quiet host)
+        t = max(device_time_ms(run, r_d, s_d, prev0, seen0, runs=6), 1e-3)
         log(f"[decode win={win_mb}MB] device-compute {n_pix_w/t/1e3:.1f} "
             f"MPix/s ({t:.1f} ms/window, {n_pix_w/1e6:.2f} MPix/window, "
             f"{nseg} lanes, {rounds} rounds)")

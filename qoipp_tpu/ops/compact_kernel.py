@@ -40,15 +40,26 @@ from jax.experimental.pallas import tpu as pltpu
 BLK = 2048  # rows per grid step (K); must be a multiple of 128
 
 
-def _compact_kernel(quarters: tuple, sout: int, gidx_ref, keep_ref, *rest):
+def _compact_kernel(quarters: tuple, sout: int, secbits: int,
+                    gidx_ref, keep_ref, *rest):
     """rest = plane_refs(nplanes) + out_ref (ANY, merged planes) + scratch:
     pend (sum(quarters), 128) f32, obuf (2, nplanes, sout,
     128) u32 double-buffered, sem (2,) DMA semaphores, prev (3,) SMEM
     [prev_b, prev_row0, has_prev] for the deferred-wait protocol.
 
-    quarters[p] = number of ACTIVE 8-bit quarters of plane p (callers whose
-    plane values fit fewer bytes skip all-zero A-sections and dot rows —
-    e.g. position|flag planes bounded by 2^24 use 3)."""
+    quarters[p] = number of ACTIVE sections of plane p; secbits selects the
+    section width:
+      * 8  — 8-bit quarters, dot at DEFAULT precision (ONE bf16 pass;
+        values <= 255 are bf16-exact).  Callers whose plane values fit
+        fewer bytes skip all-zero A-sections and dot rows — e.g.
+        position|flag planes bounded by 2^24 use 3.
+      * 16 — 16-bit halfwords, dot at HIGHEST precision (bf16_6x; Mosaic
+        rejects HIGH/bf16_3x).  EXACT: the one-hot operand is
+        bf16-representable, so the multi-pass product reduces to
+        a_hi*b + a_lo*b = a*b with a < 2^16 split exactly across two
+        bf16 terms, and every output element receives exactly one
+        contribution.  HALF the A-build VPU work of 8-bit quarters for
+        more MXU passes — pick per call site by measurement."""
     nplanes = len(quarters)
     plane_refs = rest[:nplanes]
     out_ref = rest[nplanes]
@@ -87,15 +98,17 @@ def _compact_kernel(quarters: tuple, sout: int, gidx_ref, keep_ref, *rest):
     @pl.when(cov > 0)
     def _compact_block():
         gslot = prev_ref[3]
-        nh = sum(quarters)  # active 8-bit quarters
+        nh = sum(quarters)  # active sections
         k = r * 128
+        shifts = (0, 8, 16, 24) if secbits == 8 else (0, 16)
+        mask = (1 << secbits) - 1
         halves = []
         for p in range(nplanes):
             v = plane_refs[p][0, 0]  # (r, 128) uint32
-            # Mosaic has no u32->f32 cast; the quarters fit int32 exactly.
-            for sh in (0, 8, 16, 24)[: quarters[p]]:
+            # Mosaic has no u32->f32 cast; the sections fit int32 exactly.
+            for sh in shifts[: quarters[p]]:
                 halves.append(
-                    ((v >> sh) & 0xFF).astype(jnp.int32)
+                    ((v >> sh) & mask).astype(jnp.int32)
                     .astype(jnp.float32).reshape(1, k)
                 )
 
@@ -114,7 +127,7 @@ def _compact_kernel(quarters: tuple, sout: int, gidx_ref, keep_ref, *rest):
         bmat_t = (tl.reshape(1, k) == l_rows).astype(jnp.float32)  # (128, K)
         acc = jax.lax.dot_general(
             a, bmat_t, (((1,), (1,)), ((), ())),
-            precision="default",
+            precision="default" if secbits == 8 else "highest",
             preferred_element_type=jnp.float32,
         )
 
@@ -142,13 +155,13 @@ def _compact_kernel(quarters: tuple, sout: int, gidx_ref, keep_ref, *rest):
 
         base_h = 0
         for p in range(nplanes):
-            # f32 -> i32 is the supported path; quarters are < 2^8 so
-            # the int32 bit patterns equal the uint32 ones.
+            # f32 -> i32 is the supported path; sections are < 2^secbits
+            # so the int32 bit patterns equal the uint32 ones.
             q = [sections[base_h + j].astype(jnp.int32)
                  for j in range(quarters[p])]
             w = q[0]
             for j in range(1, quarters[p]):
-                w = w | (q[j] << (8 * j))
+                w = w | (q[j] << (secbits * j))
             obuf_ref[gslot, p] = w.astype(jnp.uint32)
             base_h += quarters[p]
 
@@ -194,10 +207,12 @@ def _compact_kernel(quarters: tuple, sout: int, gidx_ref, keep_ref, *rest):
         ).wait()
 
 
-@partial(jax.jit, static_argnames=("cap", "blk", "interpret", "quarters"))
+@partial(jax.jit,
+         static_argnames=("cap", "blk", "interpret", "quarters", "secbits"))
 def compact_rows(planes, keep, cap: int, blk: int = BLK,
                  interpret: bool | None = None,
-                 quarters: tuple | None = None):
+                 quarters: tuple | None = None,
+                 secbits: int = 8):
     """Compact kept rows of one or more (B, N) uint32 planes to the front.
 
     planes: tuple of (B, N) uint32 — values to compact (same keep mask).
@@ -205,11 +220,14 @@ def compact_rows(planes, keep, cap: int, blk: int = BLK,
     cap:    static output width; must satisfy cap % 128 == 0 and
             cap >= max_b(count_b) rounded up so that every write window
             [gidx - gidx%128, +blk+128) fits: cap >= counts.max() + blk + 128.
-    quarters: optional per-plane count of ACTIVE low 8-bit quarters
-            (default 4 each).  A plane whose values fit in fewer bytes can
-            skip its all-zero quarters' A-build and MXU dot rows — e.g.
-            position|flag planes bounded by 2^24 pass 3.  Higher bytes of
-            such a plane's output are zero.
+    quarters: optional per-plane count of ACTIVE low sections (default:
+            full coverage — 4 at secbits=8, 2 at secbits=16).  A plane
+            whose values fit fewer sections can skip its all-zero
+            sections' A-build and MXU dot rows — e.g. position|flag
+            planes bounded by 2^24 pass 3 (secbits=8) / 2 (secbits=16).
+            Higher bits of such a plane's output are zero.
+    secbits: 8 (one bf16 MXU pass per section) or 16 (bf16_3x; half the
+            A-build VPU work — both exact, see _compact_kernel).
 
     Returns (compacted: tuple of (B, cap) uint32, counts: (B,) int32).
     Rows beyond counts[b] are unspecified — mask downstream.
@@ -218,10 +236,13 @@ def compact_rows(planes, keep, cap: int, blk: int = BLK,
         interpret = jax.default_backend() != "tpu"
     b, n = keep.shape
     assert n % blk == 0 and blk % 128 == 0 and cap % 128 == 0
+    assert secbits in (8, 16)
+    max_secs = 4 if secbits == 8 else 2
     nplanes = len(planes)
     if quarters is None:
-        quarters = (4,) * nplanes
-    assert len(quarters) == nplanes and all(1 <= q <= 4 for q in quarters)
+        quarters = (max_secs,) * nplanes
+    assert len(quarters) == nplanes and all(
+        1 <= q <= max_secs for q in quarters)
     sout = blk // 128 + 1
     assert cap >= blk + 128, "cap too small for one write window"
 
@@ -238,7 +259,7 @@ def compact_rows(planes, keep, cap: int, blk: int = BLK,
     )
     cap_rows = cap // 128
 
-    kernel = partial(_compact_kernel, tuple(quarters), sout)
+    kernel = partial(_compact_kernel, tuple(quarters), sout, secbits)
     out = pl.pallas_call(
         kernel,
         grid=(b, nblk),

@@ -70,3 +70,24 @@ def test_compact_active_quarters():
         for i in range(b):
             c = int(counts[i])
             assert np.array_equal(np.asarray(g[i, :c]), np.asarray(w[i, :c]))
+
+
+def test_compact_secbits16():
+    # 16-bit halfword sections (HIGHEST-precision dot) compact identically
+    # to the 8-bit default; exactness on the real MXU is pinned by
+    # benchmarks/expt_compact.py (interpret mode runs f32 either way).
+    b, n = 3, 2 * BLK
+    rng = np.random.default_rng(12)
+    keep = rng.random((b, n)) < 0.4
+    p2 = jnp.asarray(rng.integers(0, 1 << 32, (b, n), np.uint64).astype(np.uint32))
+    p1 = jnp.asarray(rng.integers(0, 1 << 16, (b, n), np.uint64).astype(np.uint32))
+    planes = (p2, p1)
+    cap = ((int(keep.sum(axis=1).max()) + BLK + 256) // 128 + 1) * 128
+    got, counts = compact_rows(planes, jnp.asarray(keep), cap=cap,
+                               quarters=(2, 1), secbits=16)
+    want, wcounts = compact_rows_reference(planes, jnp.asarray(keep), cap=cap)
+    assert np.array_equal(np.asarray(counts), np.asarray(wcounts))
+    for g, w in zip(got, want):
+        for i in range(b):
+            c = int(counts[i])
+            assert np.array_equal(np.asarray(g[i, :c]), np.asarray(w[i, :c]))

@@ -73,6 +73,7 @@ class BatchPipeline:
 
         self._decode = jax.jit(self._decode_impl)
         self._encode = jax.jit(self._encode_impl)
+        self._enc_raw = None
         self._enc_chunked = {}
 
     # -- decode ------------------------------------------------------------
@@ -169,14 +170,34 @@ class BatchPipeline:
             self._enc_chunked[key] = fn
         return fn(packed)
 
-    def encode(self, raws):
-        """(B, H, W, C) or (B, n_px*C) uint8 -> (streams, lengths)."""
-        raws = jnp.asarray(raws, dtype=jnp.uint8).reshape(raws.shape[0], -1)
+    def _encode_raw_impl(self, raws):
         packed = jax.vmap(lambda r: pixels_to_packed(r, self.channels))(raws)
         pad = self.nb - self.n_px
         if pad:
             packed = jnp.pad(packed, ((0, 0), (0, pad)))
-        return self.encode_packed(packed)
+        return self._encode_impl(packed)
+
+    def encode_raw_checked(self, raws):
+        """(B, n_px*C) uint8 device/host array -> (streams, lengths, ok)
+        in ONE dispatch: pixel packing + padding + encode fused into one
+        program (each eager device op costs a full ~48 ms tunnel round
+        trip — the serving bucket tier paid 2 extra dispatches per bucket
+        before this)."""
+        if self._enc_raw is None:
+            self._enc_raw = jax.jit(self._encode_raw_impl)
+        return self._enc_raw(raws)
+
+    def encode(self, raws):
+        """(B, H, W, C) or (B, n_px*C) uint8 -> (streams, lengths)."""
+        raws = jnp.asarray(raws, dtype=jnp.uint8).reshape(raws.shape[0], -1)
+        out, lengths, ok = self.encode_raw_checked(raws)
+        if not bool(jnp.all(ok)):
+            raise ValueError(
+                "encode overflow: an image exceeded max_encode_len="
+                f"{self.max_encode_len}; re-create the pipeline with a "
+                "larger bound (default: worst size) for these images"
+            )
+        return out, lengths
 
     # -- host conveniences -------------------------------------------------
 

@@ -92,6 +92,55 @@ def _last_same_hash_value_seg_stacked(packed, h, noneq, seg):
     return jnp.where(local_found, local_val, fallback).reshape(-1)
 
 
+def _last_same_hash_value_stacked(packed, h, noneq, incoming=None):
+    """Plain-variant candidate: stack (value, written) along the lane axis
+    so the fill shifts one (s, 128) plane per iteration instead of two."""
+    nb = packed.shape[0]
+    s = nb // TILE
+    ph = packed.reshape(s, TILE)
+    hh = h.reshape(s, TILE).astype(jnp.int32)
+    ne = noneq.reshape(s, TILE)
+
+    j_ids = jnp.arange(TILE, dtype=jnp.int32)
+
+    pair = (
+        (hh[:, None, :] == hh[:, :, None])
+        & (j_ids[None, None, :] < j_ids[None, :, None])
+        & ne[:, None, :]
+    )
+    lastj = jnp.max(jnp.where(pair, j_ids[None, None, :], -1), axis=2)
+    local_found = lastj >= 0
+    local_hot = lastj[:, :, None] == j_ids[None, None, :]
+    local_val = jnp.sum(
+        jnp.where(local_hot, ph[:, None, :], jnp.uint32(0)), axis=2
+    )
+
+    slot_ids = jnp.arange(64, dtype=jnp.int32)
+    covers = (hh[:, None, :] == slot_ids[None, :, None]) & ne[:, None, :]
+    tj = jnp.max(jnp.where(covers, j_ids[None, None, :], -1), axis=2)
+    t_hot = tj[:, :, None] == j_ids[None, None, :]
+    t_val = jnp.sum(jnp.where(t_hot, ph[:, None, :], jnp.uint32(0)), axis=2)
+    t_w = jnp.sum(jnp.where(t_hot, jnp.uint32(1), jnp.uint32(0)), axis=2)
+
+    st = jnp.concatenate([t_val, t_w], axis=1)  # (s, 128)
+    k = 1
+    while k < s:
+        pz = jnp.concatenate([jnp.zeros((k, 128), st.dtype), st[:-k]], axis=0)
+        w = st[:, 64:] > 0
+        st = jnp.where(jnp.concatenate([w, w], axis=1), st, pz)
+        k *= 2
+    if incoming is None:
+        incoming = jnp.zeros(64, jnp.uint32)
+    inc = jnp.concatenate([jnp.zeros((1, 128), st.dtype), st[:-1]], axis=0)
+    table = jnp.where(inc[:, 64:] > 0, inc[:, :64], incoming[None, :])
+
+    slot_hot = hh[:, :, None] == slot_ids[None, None, :]
+    inc_at_px = jnp.sum(
+        jnp.where(slot_hot, table[:, None, :], jnp.uint32(0)), axis=2
+    )
+    return jnp.where(local_found, local_val, inc_at_px).reshape(-1)
+
+
 def _rand_case(rng, n, n_seg):
     """Adversarial-ish segmented lane: low-entropy pixels so hash slots
     collide hard across segment boundaries."""
@@ -108,6 +157,9 @@ def _rand_case(rng, n, n_seg):
 
 
 def main():
+    corr_only = "--correctness-only" in sys.argv
+    if corr_only:
+        jax.config.update("jax_platforms", "cpu")
     enable_compile_cache()
     rng = np.random.default_rng(7)
 
@@ -122,6 +174,24 @@ def main():
         assert np.array_equal(a, b), f"MISMATCH at n={n} n_seg={n_seg}"
     print("correctness: identical on 4 segmented cases", file=sys.stderr)
 
+    # plain variant (batched encode, encode.py:512; device_stream windows)
+    pbase = jax.jit(enc_ops._last_same_hash_value)
+    pcand = jax.jit(_last_same_hash_value_stacked)
+    for n in [TILE, 4 * TILE, 64 * TILE, 1024 * TILE]:
+        pk, h, nq, _ = _rand_case(rng, n, 1)
+        inc = jnp.asarray(
+            rng.integers(0, 6, size=(64, 4)).astype(np.uint32) @
+            np.array([1, 1 << 8, 1 << 16, 1 << 24], np.uint32)
+        )
+        for incoming in (None, inc):
+            a = np.asarray(pbase(pk, h, nq, incoming))
+            b = np.asarray(pcand(pk, h, nq, incoming))
+            assert np.array_equal(a, b), f"PLAIN MISMATCH at n={n}"
+    print("correctness: plain variant identical (w/ + w/o incoming)",
+          file=sys.stderr)
+    if corr_only:
+        return
+
     # -- device timing at the real packed-encode shape ----------------------
     # 12 lanes x 448K chunk rows (the compacted chunk domain the production
     # path feeds this function; vmapped over lanes like encode.py:791)
@@ -129,10 +199,22 @@ def main():
     args = [jnp.stack(x) for x in zip(*(_rand_case(rng, N, 20) for _ in range(L)))]
     vb = jax.jit(jax.vmap(enc_ops._last_same_hash_value_seg))
     vc = jax.jit(jax.vmap(_last_same_hash_value_seg_stacked))
-    for name, fn in [("baseline", vb), ("stacked", vc)]:
+    for name, fn in [("seg baseline", vb), ("seg stacked", vc)]:
         fn(*args)  # compile
         ts = [device_time_ms(lambda: fn(*args), runs=10) for _ in range(3)]
         print(f"{name}: {min(ts):.2f} ms (best of 3x10, L={L} N={N})")
+
+    # plain variant at the batched-encode chunk-domain shape: 32-image
+    # sub-batch, ~520K chunk rows per 1080p image after compaction
+    B2, N2 = 32, 512 * 1024
+    pargs = [jnp.stack(x)
+             for x in zip(*(_rand_case(rng, N2, 1)[:3] for _ in range(B2)))]
+    pvb = jax.jit(jax.vmap(lambda p, h, nq: enc_ops._last_same_hash_value(p, h, nq)))
+    pvc = jax.jit(jax.vmap(lambda p, h, nq: _last_same_hash_value_stacked(p, h, nq)))
+    for name, fn in [("plain baseline", pvb), ("plain stacked", pvc)]:
+        fn(*pargs)
+        ts = [device_time_ms(lambda: fn(*pargs), runs=10) for _ in range(3)]
+        print(f"{name}: {min(ts):.2f} ms (best of 3x10, B={B2} N={N2})")
 
 
 if __name__ == "__main__":

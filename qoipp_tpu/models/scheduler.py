@@ -28,15 +28,16 @@ import numpy as np
 from ..common import Channels, Desc
 from .pipeline import BatchPipeline
 
-# Batch-count pad grid: ~1.33-ratio steps from 1.  Pipelines are cached
+# Batch-count pad grid: <= 1.5-ratio steps from 1.  Pipelines are cached
 # per (geometry, length-bucket) already, so a smaller floor does not
 # multiply compile shapes across geometries — it only bounds
 # per-geometry count variation at ~2 log2(n) entries.  The old floor of
 # 8 made every singleton-geometry image (common in serving corpora: each
 # big photo is its own geometry) pay 8x padded upload + encode/decode
-# work; the 1.33 ratio bounds residual zero-pad upload at <= 33%
-# (measured round 4: the serving ENCODE bucket tier spent seconds
-# uploading + encoding zero padding).
+# work; this grid bounds residual zero-pad work at <= 50% (<= 33% below
+# n=17, where small corpora actually land).  Measured round 4: the
+# serving ENCODE bucket tier spent seconds uploading + encoding zero
+# padding under the old floor.
 _B_GRID = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256)
 
 

@@ -58,3 +58,17 @@ def test_bucketed_decode_rgba_target_conversion():
     for i, raw in enumerate(raws):
         want = oracle.decode(blobs[i], DESC, Channels.RGBA)
         assert np.array_equal(imgs[i].reshape(-1), want)
+
+
+def test_pad_b_grid_bounds_waste():
+    # the batch pad grid must cover 1..256 with <= 50% padded waste so
+    # singleton-geometry serving images stop paying 8x padded batches
+    from qoipp_tpu.models.scheduler import _B_GRID, _pad_b
+
+    assert _pad_b(1) == 1 and _pad_b(2) == 2
+    for n in range(1, 257):
+        p = _pad_b(n)
+        assert p >= n and p in _B_GRID
+        assert p * 2 <= n * 3, (n, p)  # <= 1.5x
+    for n in range(1, 17):  # small corpora: tighter
+        assert _pad_b(n) * 3 <= n * 4, n

@@ -202,6 +202,63 @@ def fuzz_device_window(rng, max_px=60_000):
         f"device window divergence: {desc}, win={win}, lanes={dec.split_lanes}"
 
 
+def fuzz_serving(rng):
+    """ServingCodec router: mixed corpora straddling every routing
+    boundary (packed tier / split engine / bucketed batch) through
+    decode AND encode must equal the oracle per stream.  Geometries come
+    from a small fixed set so jit caches persist across iterations; the
+    codec presets force all three engines to engage at toy sizes."""
+    from qoipp_tpu.models.serving import ServingCodec
+
+    presets = [
+        dict(pack_lane_bytes=16 << 10, pack_lane_px=1 << 12,
+             split_min_bytes=8 << 10, min_len=1 << 10),
+        dict(pack_lane_bytes=8 << 10, pack_lane_px=1 << 11,
+             split_min_bytes=4 << 10, min_len=1 << 10),
+    ]
+    cache = getattr(fuzz_serving, "_codecs", {})
+    fuzz_serving._codecs = cache
+    key = int(rng.integers(0, len(presets)))
+    codec = cache.get(key)
+    if codec is None:
+        codec = cache[key] = ServingCodec(**presets[key])
+
+    geoms = [(40, 30), (64, 48), (100, 80), (128, 90)]
+    b = int(rng.integers(2, 7))
+    raws, blobs, descs = [], [], []
+    for _ in range(b):
+        w, h = geoms[int(rng.integers(0, len(geoms)))]
+        ch = q.Channels.RGBA if rng.random() < 0.4 else q.Channels.RGB
+        desc = q.Desc(w, h, ch)
+        n = w * h * int(ch)
+        mode = rng.random()
+        if mode < 0.3:  # noise (dense streams: over split_min at 100x80+)
+            raw = rng.integers(0, 256, n, dtype=np.uint8)
+        elif mode < 0.6:  # palette
+            pal = rng.integers(0, 256, (int(rng.integers(3, 40)), int(ch)),
+                               dtype=np.uint8)
+            raw = pal[rng.integers(0, len(pal), w * h)].reshape(-1)
+        else:  # runs
+            rep = int(rng.integers(5, 60))
+            raw = np.repeat(
+                rng.integers(0, 256, n // rep + 1, dtype=np.uint8), rep
+            )[:n].copy()
+        enc, complete = oracle.encode(raw, desc)
+        assert complete
+        raws.append(raw)
+        blobs.append(enc)
+        descs.append(desc)
+
+    outs = codec.decode(blobs)
+    for i, raw in enumerate(raws):
+        assert np.array_equal(outs[i], raw), \
+            f"serving decode divergence: stream {i} {descs[i]} preset {key}"
+    streams = codec.encode(raws, descs)
+    for i, want in enumerate(blobs):
+        assert np.array_equal(streams[i], want), \
+            f"serving encode divergence: stream {i} {descs[i]} preset {key}"
+
+
 FUZZERS = {
     "decode": fuzz_decode,
     "truncated": fuzz_truncated,
@@ -209,6 +266,7 @@ FUZZERS = {
     "stream": fuzz_stream,
     "split": fuzz_split,
     "window": fuzz_device_window,
+    "serving": fuzz_serving,
 }
 
 
@@ -217,7 +275,15 @@ def main(argv=None):
     p.add_argument("-n", "--iterations", type=int, default=50)
     p.add_argument("-s", "--seed", type=int, default=0)
     p.add_argument("--only", choices=sorted(FUZZERS), default=None)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (plain env vars do not "
+                        "override the axon site hook; this must win the "
+                        "race before backend init)")
     args = p.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     rng = np.random.default_rng(args.seed)
     targets = [FUZZERS[args.only]] if args.only else list(FUZZERS.values())

@@ -170,3 +170,33 @@ def test_encode_packed_chunked_matches_per_subbatch():
         assert np.array_equal(np.asarray(out[i, : blobs[i].size]), blobs[i])
     with pytest.raises(ValueError):
         pipe.encode_packed_chunked(packed, sub=4)  # 6 % 4 != 0
+
+
+def test_encode_raws_fused_path():
+    # BatchPipeline.encode on (B, H, W, C) raw images: the fused
+    # pack+pad+encode program (encode_raw_checked) must equal the oracle
+    # bit-exactly and raise on max_encode_len overflow
+    import jax.numpy as jnp
+
+    from qoipp_tpu import oracle
+    from qoipp_tpu.models.pipeline import BatchPipeline
+
+    rng = np.random.default_rng(23)
+    desc = Desc(40, 32, Channels.RGBA)
+    n = 40 * 32 * 4
+    raws = [
+        (rng.integers(0, 4, n) * 60).astype(np.uint8),
+        rng.integers(0, 256, n, dtype=np.uint8),  # noise: near-worst size
+        np.zeros(n, np.uint8),
+    ]
+    blobs = [oracle.encode(r, desc)[0] for r in raws]
+    pipe = BatchPipeline(desc)
+    out, lengths = pipe.encode(np.stack(raws).reshape(3, 32, 40, 4))
+    for i, b_ in enumerate(blobs):
+        assert int(lengths[i]) == b_.size
+        assert np.array_equal(np.asarray(out[i, : b_.size]), b_), f"img {i}"
+
+    assert min(b_.size for b_ in blobs[:2]) > 1024  # bound really is tight
+    tight = BatchPipeline(desc, max_encode_len=1024)
+    with pytest.raises(ValueError, match="encode overflow"):
+        tight.encode(jnp.asarray(np.stack(raws)))

@@ -36,16 +36,21 @@ from qoipp_tpu.ops.encode import TILE
 from qoipp_tpu.utils.timing import device_time_ms, enable_compile_cache
 
 
-def _last_same_hash_value_seg_stacked(packed, h, noneq, seg):
-    """Candidate: see module docstring. Bit-identical output required."""
-    nb = packed.shape[0]
-    s = nb // TILE
-    ph = packed.reshape(s, TILE)
-    hh = h.reshape(s, TILE).astype(jnp.int32)
-    ne = noneq.reshape(s, TILE)
-    sg = seg.reshape(s, TILE).astype(jnp.int32)
+def _last_same_hash_value_seg_stacked(packed, h, noneq, seg, tile=TILE):
+    """Candidate: see module docstring. Bit-identical output required.
 
-    j_ids = jnp.arange(TILE, dtype=jnp.int32)
+    `tile` sweeps the micro-tile size: the pairwise + local one-hot
+    planes scale with nb*tile while the slot planes stay nb*64, so
+    tile=32 halves the two largest builds at the cost of one more fill
+    iteration and 2x summary rows."""
+    nb = packed.shape[0]
+    s = nb // tile
+    ph = packed.reshape(s, tile)
+    hh = h.reshape(s, tile).astype(jnp.int32)
+    ne = noneq.reshape(s, tile)
+    sg = seg.reshape(s, tile).astype(jnp.int32)
+
+    j_ids = jnp.arange(tile, dtype=jnp.int32)
 
     pair = (
         (hh[:, None, :] == hh[:, :, None])
@@ -166,13 +171,18 @@ def main():
     # -- correctness: bit-identical to the shipped implementation ----------
     base = jax.jit(enc_ops._last_same_hash_value_seg)
     cand = jax.jit(_last_same_hash_value_seg_stacked)
+    cand32 = jax.jit(lambda p, h, nq, sg:
+                     _last_same_hash_value_seg_stacked(p, h, nq, sg, tile=32))
     for n, n_seg in [(TILE, 1), (4 * TILE, 3), (64 * TILE, 9),
                      (1024 * TILE, 40)]:
         args = _rand_case(rng, n, n_seg)
         a = np.asarray(base(*args))
         b = np.asarray(cand(*args))
         assert np.array_equal(a, b), f"MISMATCH at n={n} n_seg={n_seg}"
-    print("correctness: identical on 4 segmented cases", file=sys.stderr)
+        c = np.asarray(cand32(*args))
+        assert np.array_equal(a, c), f"t32 MISMATCH at n={n} n_seg={n_seg}"
+    print("correctness: identical on 4 segmented cases (tile 64 + 32)",
+          file=sys.stderr)
 
     # plain variant (batched encode, encode.py:512; device_stream windows)
     pbase = jax.jit(enc_ops._last_same_hash_value)
@@ -199,7 +209,11 @@ def main():
     args = [jnp.stack(x) for x in zip(*(_rand_case(rng, N, 20) for _ in range(L)))]
     vb = jax.jit(jax.vmap(enc_ops._last_same_hash_value_seg))
     vc = jax.jit(jax.vmap(_last_same_hash_value_seg_stacked))
-    for name, fn in [("seg baseline", vb), ("seg stacked", vc)]:
+    vc32 = jax.jit(jax.vmap(
+        lambda p, h, nq, sg:
+        _last_same_hash_value_seg_stacked(p, h, nq, sg, tile=32)))
+    for name, fn in [("seg baseline", vb), ("seg stacked", vc),
+                     ("seg stacked t32", vc32)]:
         fn(*args)  # compile
         ts = [device_time_ms(lambda: fn(*args), runs=10) for _ in range(3)]
         print(f"{name}: {min(ts):.2f} ms (best of 3x10, L={L} N={N})")

@@ -83,6 +83,8 @@ class ServingCodec:
         images route to the bucketed batch engine.
     growth / min_len: bucket geometry for the batch engine
         (models/scheduler.BucketedCodec, the encode fallback).
+    split_lanes: replay lanes per split dispatch; over-cap streams
+        dispatch in groups of <= split_lanes (each needs >= 1 lane).
     """
 
     DEC_TIER_SPAN = 4      # max size spread inside one packed tier
@@ -92,10 +94,11 @@ class ServingCodec:
     def __init__(self, pack_lane_bytes: int = 8 << 20,
                  pack_lane_px: int = 1 << 20,
                  growth: float = 2.0, min_len: int = 1 << 14,
-                 split_min_bytes: int = 1 << 20):
+                 split_min_bytes: int = 1 << 20,
+                 split_lanes: int = 128):
         self._dec_pack = PackedDecoder(lane_bytes=pack_lane_bytes)
         self._enc_pack = PackedEncoder(lane_px=pack_lane_px)
-        self._dec_split = SplitDecoder()
+        self._dec_split = SplitDecoder(lanes=split_lanes)
         self._split_min = split_min_bytes
         self._growth = growth
         self._min_len = min_len
@@ -157,12 +160,10 @@ class ServingCodec:
         # serving headline: the multi-MB photos).
         taken = set(packable)
         rest = [i for i in range(n) if i not in taken]
-        split_parts = []
-        if rest:
-            split_parts.append(
-                (rest,
-                 self._dec_split.decode_to_device([arrs[i] for i in rest]))
-            )
+        split_parts = [
+            (grp, self._dec_split.decode_to_device([arrs[i] for i in grp]))
+            for grp in self._split_groups(rest)
+        ]
         return n, packed_parts, split_parts
 
     @staticmethod
@@ -187,6 +188,13 @@ class ServingCodec:
             <= min(self._dec_pack.lane_bytes, self._split_min)
             and descs[i].width * descs[i].height <= self.DEC_PACK_PX_CAP
         ]
+
+    def _split_groups(self, rest: List[int]) -> List[List[int]]:
+        """Over-cap streams dispatch in groups of <= lanes (every stream
+        needs >= 1 lane; SplitDecoder rejects larger sets rather than
+        silently dropping streams)."""
+        cap = self._dec_split.lanes
+        return [rest[i : i + cap] for i in range(0, len(rest), cap)]
 
     def decode_dispatch_overlapped(self, blobs: Sequence):
         """decode_dispatch with host planning pipelined against transport
@@ -217,10 +225,10 @@ class ServingCodec:
                     lambda p: self._dec_pack.dispatch_staged(
                         self._dec_pack.stage_plan(p)), plan)))
             split_futs = []
-            if rest:
+            for grp in self._split_groups(rest):
                 plan = self._dec_split.plan_and_pack(
-                    [arrs[i] for i in rest])
-                split_futs.append((rest, ex.submit(
+                    [arrs[i] for i in grp])
+                split_futs.append((grp, ex.submit(
                     lambda p: self._dec_split.dispatch_staged(
                         self._dec_split.stage_plan(p)), plan)))
             packed_parts = [(idxs, f.result()) for idxs, f in packed_futs]
@@ -247,12 +255,10 @@ class ServingCodec:
             for idxs in tiers
         ]
         rest = [i for i in range(n) if i not in set(packable)]
-        split_staged = []
-        if rest:
-            split_staged.append(
-                (rest,
-                 self._dec_split.stage_to_device([arrs[i] for i in rest]))
-            )
+        split_staged = [
+            (grp, self._dec_split.stage_to_device([arrs[i] for i in grp]))
+            for grp in self._split_groups(rest)
+        ]
         return n, packed_staged, split_staged
 
     def decode_dispatch_staged(self, staged):

@@ -386,11 +386,20 @@ class SplitDecoder:
         L = self.lanes
         byte_w = 46.0 + 2.45 * L
         px_w = 0.27 * L
+        if len(arrs) > L:
+            # every stream needs >= 1 lane; trimming a stream to 0
+            # segments would silently drop it (uninitialized output).
+            # Callers with bigger sets dispatch in groups (ServingCodec).
+            raise ValueError(
+                f"{len(arrs)} streams > {L} lanes; dispatch in groups of "
+                "<= lanes streams"
+            )
         costs = [byte_w * s + px_w * p for s, p in zip(sizes, pxs)]
         target = sum(costs) / L
         n_segs = [max(1, int(round(c / target))) for c in costs]
         while sum(n_segs) > L:  # rounding overshoot: trim the largest
             n_segs[int(np.argmax(n_segs))] -= 1
+        assert all(k >= 1 for k in n_segs)  # guaranteed by len(arrs) <= L
 
         def _walk(chunk_w=0.0, bw=byte_w):
             plans = []  # (stream idx, byte offsets, px offsets, ordinals)

@@ -149,3 +149,38 @@ def test_split_dense_stream_gates_to_byte_domain():
     assert plan[8] == 0
     got = dec.decode([enc])
     assert np.array_equal(got[0], raw)
+
+
+def test_split_rejects_more_streams_than_lanes():
+    from qoipp_tpu.models.split import SplitDecoder
+
+    rng = np.random.default_rng(3)
+    desc = Desc(32, 24, Channels.RGB)
+    blobs = []
+    for _ in range(5):
+        raw = rng.integers(0, 256, 32 * 24 * 3, dtype=np.uint8)
+        blobs.append(oracle.encode(raw, desc)[0])
+    dec = SplitDecoder(lanes=4)
+    with pytest.raises(ValueError, match="streams > 4 lanes"):
+        dec.plan_and_pack(blobs)
+
+
+def test_serving_groups_overcap_streams_beyond_lane_count():
+    # more over-cap streams than split lanes: the router must dispatch
+    # them in groups, never silently dropping one
+    from qoipp_tpu.models.serving import ServingCodec
+
+    rng = np.random.default_rng(9)
+    desc = Desc(48, 40, Channels.RGB)
+    n = 48 * 40 * 3
+    raws, blobs = [], []
+    for _ in range(7):  # all over-cap for split_min_bytes=256
+        raw = rng.integers(0, 256, n, dtype=np.uint8)
+        enc, _ = oracle.encode(raw, desc)
+        raws.append(raw)
+        blobs.append(enc)
+    codec = ServingCodec(split_min_bytes=256, split_lanes=3,
+                         min_len=1 << 10)
+    outs = codec.decode(blobs)
+    for i, raw in enumerate(raws):
+        assert np.array_equal(outs[i], raw), f"stream {i}"

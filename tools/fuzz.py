@@ -215,6 +215,10 @@ def fuzz_serving(rng):
              split_min_bytes=8 << 10, min_len=1 << 10),
         dict(pack_lane_bytes=8 << 10, pack_lane_px=1 << 11,
              split_min_bytes=4 << 10, min_len=1 << 10),
+        # split_lanes=2 forces GROUPED split dispatches whenever > 2
+        # streams go over-cap (the silent-drop regression class)
+        dict(pack_lane_bytes=16 << 10, pack_lane_px=1 << 12,
+             split_min_bytes=2 << 10, min_len=1 << 10, split_lanes=2),
     ]
     cache = getattr(fuzz_serving, "_codecs", {})
     fuzz_serving._codecs = cache

@@ -202,6 +202,52 @@ def fuzz_device_window(rng, max_px=60_000):
         f"device window divergence: {desc}, win={win}, lanes={dec.split_lanes}"
 
 
+def fuzz_device_window_encode(rng, max_px=40_000):
+    """Device windowed streaming ENCODER: random window capacities and
+    feed sizes (whole pixels, torn anywhere) with carried (prev, run,
+    table) state must assemble the oracle's exact stream, including the
+    finalize pending-run/end-marker contract."""
+    from qoipp_tpu.ops.device_stream import DeviceStreamEncoder
+
+    w = int(rng.integers(30, 260))
+    h = max(min(int(rng.integers(30, 260)), max_px // w), 6)
+    ch = q.Channels.RGBA if rng.random() < 0.5 else q.Channels.RGB
+    desc = q.Desc(w, h, ch)
+    n = w * h * int(ch)
+    mode = rng.random()
+    if mode < 0.35:  # runs crossing window seams
+        rep = int(rng.integers(3, 80))
+        raw = np.repeat(
+            rng.integers(0, 256, (n // rep + 1,), dtype=np.uint8), rep
+        )[:n].copy()
+    elif mode < 0.65:  # palette (INDEX state crosses windows)
+        pal = rng.integers(0, 256, (int(rng.integers(3, 50)), int(ch)),
+                           dtype=np.uint8)
+        raw = pal[rng.integers(0, len(pal), w * h)].reshape(-1)
+    else:
+        raw = (np.cumsum(rng.integers(-3, 4, n)) % 256).astype(np.uint8)
+    want, _ = oracle.encode(raw, desc)
+    # fixed window-size set: each distinct window compiles its own program
+    wins = (256, 1024, 3000, 8192)
+    enc = DeviceStreamEncoder(window_px=int(wins[int(rng.integers(0, 4))]))
+    r = enc.initialize(desc)
+    assert r, r.error()
+    stream = bytearray(r.value())
+    step_px = int(rng.integers(1, enc.window_px + 1))
+    step = step_px * int(ch)
+    for s in range(0, n, step):
+        r = enc.encode_window(raw[s : s + step])
+        assert r, r.error()
+        stream += bytes(r.value())
+    r = enc.finalize()
+    assert r, r.error()
+    stream += bytes(r.value())
+    got = np.frombuffer(bytes(stream), np.uint8)
+    assert np.array_equal(got, want), \
+        f"device window encode divergence: {desc}, win={enc.window_px}, " \
+        f"step={step_px}"
+
+
 def fuzz_serving(rng):
     """ServingCodec router: mixed corpora straddling every routing
     boundary (packed tier / split engine / bucketed batch) through
@@ -270,6 +316,7 @@ FUZZERS = {
     "stream": fuzz_stream,
     "split": fuzz_split,
     "window": fuzz_device_window,
+    "window-enc": fuzz_device_window_encode,
     "serving": fuzz_serving,
 }
 

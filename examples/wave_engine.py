@@ -52,11 +52,15 @@ tests/test_alt_engines.py.
 
 from __future__ import annotations
 
+import sys
 from functools import partial
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from qoipp_tpu.ops.bitops import START_PIXEL_PACKED, hash6
 from qoipp_tpu.ops.classify import (

@@ -13,6 +13,7 @@ Details go to stderr.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -198,7 +199,30 @@ def main():
     from qoipp_tpu import oracle
     from qoipp_tpu.models.pipeline import BatchPipeline
 
-    dev = jax.devices()[0]
+    # Backend watchdog: the axon tunnel can be down for hours (observed
+    # 2026-08-18, CLAUDE.md) and jax.devices() then hangs indefinitely.
+    # Emit the contract JSON with value 0 instead of hanging the driver.
+    import threading
+
+    wd = int(os.environ.get("QOIPP_BENCH_DEVICE_TIMEOUT", "600"))
+    devbox = []
+    t = threading.Thread(target=lambda: devbox.extend(jax.devices()),
+                         daemon=True)
+    t.start()
+    t.join(timeout=wd)
+    if not devbox:
+        log(f"DEVICE UNAVAILABLE: backend init did not complete in {wd} s "
+            "(axon tunnel down?) — reporting value 0")
+        print(json.dumps({
+            "metric": "batched QOI decode, 128x1920x1088 RGB synthetic "
+                      "corpus, single chip",
+            "value": 0.0,
+            "unit": "MPix/s",
+            "vs_baseline": 0,
+            "error": "device backend unavailable (tunnel down)",
+        }))
+        return
+    dev = devbox[0]
     log(f"device: {dev.platform} {dev}")
 
     B, W, H = 128, 1920, 1088

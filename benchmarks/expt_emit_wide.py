@@ -327,11 +327,17 @@ def main():
     variants = [
         ("wide256", dict(lanes=256, hoist=False)),
         ("wide256+hoist", dict(lanes=256, hoist=True)),
+        ("wide512+hoist", dict(lanes=512, hoist=True)),
         ("128+hoist", dict(lanes=128, hoist=True)),
     ]
     for name, kw in variants:
-        base = window_base_rows_w(off, out_cap, kw["lanes"])
-        got = np.asarray(emit_wide(off, tlo, thn, base, out_cap, **kw))
+        try:
+            base = window_base_rows_w(off, out_cap, kw["lanes"])
+            got = np.asarray(emit_wide(off, tlo, thn, base, out_cap, **kw))
+        except Exception as e:  # one Mosaic rejection must not kill the run
+            print(f"{name:>20}: ERROR {type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:100]}")
+            continue
         ok = np.array_equal(got, ref)
         print(f"{name:>20}: parity {'OK' if ok else 'FAIL'}")
         if not ok:

@@ -22,7 +22,7 @@ ROOT = Path(__file__).resolve().parent.parent
 PORT = 56789
 
 
-def worker(proc_id: int) -> int:
+def worker(proc_id: int, port: int = PORT) -> int:
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
         + " --xla_force_host_platform_device_count=4"
@@ -31,7 +31,7 @@ def worker(proc_id: int) -> int:
 
     jax.config.update("jax_platforms", "cpu")
     jax.distributed.initialize(
-        coordinator_address=f"127.0.0.1:{PORT}",
+        coordinator_address=f"127.0.0.1:{port}",
         num_processes=2,
         process_id=proc_id,
     )
@@ -85,8 +85,47 @@ def worker(proc_id: int) -> int:
         )
         if not np.array_equal(got, raws[i]):
             ok = False
+
+    # SP decode with the seq axis spanning BOTH processes: the device-3 ->
+    # device-4 seam ppermute crosses the process boundary — the genuinely
+    # cross-process collective path of the sequence-parallel engine.
+    from qoipp_tpu.ops import boundary
+    from qoipp_tpu.ops import decode as dec_ops
+
+    m_sp = mesh_mod.make_mesh((1, 8))
+    desc_sp = Desc(256, 16, Channels.RGB)
+    rng_sp = np.random.default_rng(5)
+    palette = rng_sp.integers(0, 256, (16, 3)).astype(np.uint8)
+    raw_sp = palette[rng_sp.integers(0, 16, 256 * 16)].reshape(-1)
+    enc_sp, _ = oracle.encode(raw_sp, desc_sp)
+    n_px = desc_sp.width * desc_sp.height
+    qb = dec_ops._bucket(enc_sp.size - 14, boundary.BLOCK)
+    while qb % (8 * 4) != 0:
+        qb += boundary.BLOCK
+    region = np.zeros(qb + 8, np.uint8)
+    region[: enc_sp.size - 14] = enc_sp[14:]
+    region_j = jnp.asarray(region)
+    info = boundary.analyze_region(
+        region_j[:qb], jnp.int32(enc_sp.size - 22), jnp.int32(n_px)
+    )
+    cls, val, nmask, arg = jax.jit(
+        dec_ops.classify_dense, static_argnames=("qb",)
+    )(region_j, qb, info["real"])
+    sp = sharded.make_sp_decode(m_sp, qb, tiles_per_device=4)
+    emits, prevs = sp(cls, val, nmask, arg)
+    n_cap = dec_ops._bucket(n_px, 128)
+    packed_sp = dec_ops.expand_pixels(
+        np.asarray(multihost_utils.process_allgather(emits, tiled=True)),
+        np.asarray(multihost_utils.process_allgather(prevs, tiled=True)),
+        info["real"], info["produced"], info["pix_before"], n_cap,
+    )
+    got_sp = np.asarray(packed_to_pixels(packed_sp[:n_px], 3))
+    sp_ok = bool(np.array_equal(got_sp, raw_sp))
+    ok = ok and sp_ok
+
     print(f"[proc {proc_id}] devices={len(jax.devices())} "
           f"local={jax.local_device_count()} checksum={checksum} "
+          f"sp={'100%' if sp_ok else 'FAILED'} "
           f"parity={'100%' if ok else 'FAILED'}", flush=True)
     jax.distributed.shutdown()
     return 0 if ok else 1
@@ -94,10 +133,20 @@ def worker(proc_id: int) -> int:
 
 def main() -> int:
     if "--proc" in sys.argv:
-        return worker(int(sys.argv[sys.argv.index("--proc") + 1]))
+        port = (int(sys.argv[sys.argv.index("--port") + 1])
+                if "--port" in sys.argv else PORT)
+        return worker(int(sys.argv[sys.argv.index("--proc") + 1]), port)
+    # pick a free coordinator port (a fixed one collides with a stale or
+    # concurrent run; the race between close and bind is acceptable here)
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
     procs = [
         subprocess.Popen(
-            [sys.executable, __file__, "--proc", str(i)],
+            [sys.executable, __file__, "--proc", str(i),
+             "--port", str(port)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         )
         for i in range(2)

@@ -397,11 +397,19 @@ class ServingCodec:
             lengths = np.asarray(lengths)
             okh = np.asarray(ok)
             # the bucket is sized from worst_size, so a checked-flag trip
-            # is a bug, not an overflowable configuration
-            assert bool(okh[: len(idxs)].all()), \
-                "bucketed encode overflowed its worst-size bucket"
+            # is a bug, not an overflowable configuration (raise
+            # unconditionally: `assert` vanishes under python -O and would
+            # silently return truncated streams)
+            if not bool(okh[: len(idxs)].all()):
+                raise AssertionError(
+                    "bucketed encode overflowed its worst-size bucket")
             used = int(lengths[: len(idxs)].max(initial=1))
-            host = np.asarray(streams[:, : -(-used // 128) * 128])
+            # fetch slice rounded to a COARSE 8 KB bucket (as
+            # ops/device_stream does): each distinct eager slice length
+            # compiles a fresh program (~30 s via the tunnel), so a
+            # 128-byte granularity recompiled on nearly every corpus
+            fetch = min(streams.shape[1], -(-used // 8192) * 8192)
+            host = np.asarray(streams[:, :fetch])
             for j, i in enumerate(idxs):
                 results[i] = host[j, : lengths[j]].copy()
         return results  # type: ignore[return-value]

@@ -110,14 +110,17 @@ def _seen0_vec():
 
 
 @partial(jax.jit, static_argnames=("qb", "n_cap", "qc"))
-def _decode_split_lanes(regions, heads, chunks_sizes, max_chain,
-                        qb: int, n_cap: int, qc: int = 0):
+def _decode_split_lanes(regions, heads, chunks_sizes, px_budgets,
+                        max_chain, qb: int, n_cap: int, qc: int = 0):
     """regions: (L, qb+8) u8 segment bytes (each lane = ONE segment, first
     byte a chunk start); heads: (L,) bool — lane begins a new chain (a
-    stream's first segment); chunks_sizes: (L,) i32; max_chain: traced
-    scalar — longest chain length (fixpoint round bound); qc: static chunk
-    cap — when > 0, replay/place run on the compacted chunk domain
-    (_compact_chunks) instead of the byte domain.
+    stream's first segment); chunks_sizes: (L,) i32; px_budgets: (L,) i32
+    — each lane's pixel span from the native walker, which clamps RUN
+    production at the image's w*h exactly like the reference decoder
+    (simple.cpp:156-163); max_chain: traced scalar — longest chain length
+    (fixpoint round bound); qc: static chunk cap — when > 0, replay/place
+    run on the compacted chunk domain (_compact_chunks) instead of the
+    byte domain.
 
     Returns ((L, n_cap) u32 packed pixels per lane, rounds scalar)."""
     l = regions.shape[0]
@@ -125,6 +128,15 @@ def _decode_split_lanes(regions, heads, chunks_sizes, max_chain,
         regions[:, :qb], chunks_sizes, jnp.int32(0)
     )
     real, pix_before = info["real"], info["pix_before"]
+    # Clamp at the walker's (already n_px-clamped) per-segment pixel span:
+    # a crafted stream whose RUNs over-produce past w*h would otherwise
+    # make the device pix_before disagree with the walker's px offsets and
+    # silently diverge from the reference's clamped decode.  Chunks fully
+    # past the budget stop incrementing pb, so the place kernel's
+    # pb-increment write mask drops them; a partially clamped RUN still
+    # writes and fill covers exactly the budgeted span.  Valid encoder
+    # output never trips this (the clamp is then the identity).
+    pix_before = jnp.minimum(pix_before, px_budgets[:, None])
     meta, val = dec_ops.fields_dense_batch(regions, real)
     if qc:
         meta, val, pix_before = _compact_chunks(
@@ -343,27 +355,27 @@ class SplitDecoder:
     def stage_plan(plan):
         """Upload a plan_and_pack host plan — see
         PackedDecoder.stage_plan for the worker-thread rationale."""
-        (regions, heads, chunks_sizes, where, descs, qb, n_cap,
-         max_chain, qc) = plan
+        (regions, heads, chunks_sizes, px_budgets, where, descs, qb,
+         n_cap, max_chain, qc) = plan
         return (jnp.asarray(regions), jnp.asarray(heads),
-                jnp.asarray(chunks_sizes), jnp.int32(max_chain),
-                where, descs, qb, n_cap, qc)
+                jnp.asarray(chunks_sizes), jnp.asarray(px_budgets),
+                jnp.int32(max_chain), where, descs, qb, n_cap, qc)
 
     def dispatch_staged(self, staged):
-        (regions, heads, chunks_sizes, max_chain, where, descs, qb,
-         n_cap, qc) = staged
+        (regions, heads, chunks_sizes, px_budgets, max_chain, where,
+         descs, qb, n_cap, qc) = staged
         packed, rounds = _decode_split_lanes(
-            regions, heads, chunks_sizes, max_chain, qb=qb, n_cap=n_cap,
-            qc=qc,
+            regions, heads, chunks_sizes, px_budgets, max_chain, qb=qb,
+            n_cap=n_cap, qc=qc,
         )
         return packed, where, descs, rounds
 
     def plan_and_pack(self, blobs: Sequence):
         """Host staging: native chunk-walk split per stream, one segment
         per lane.  Returns (regions (L, qb+8) u8, heads (L,) bool,
-        chunks_sizes (L,) i32, where, descs, qb, n_cap, max_chain, qc —
-        the static chunk-compaction cap, 0 when the byte domain is
-        denser-than-worthwhile)."""
+        chunks_sizes (L,) i32, px_budgets (L,) i32, where, descs, qb,
+        n_cap, max_chain, qc — the static chunk-compaction cap, 0 when
+        the byte domain is denser-than-worthwhile)."""
         arrs = [
             np.frombuffer(bytes(x), np.uint8)
             if not isinstance(x, np.ndarray) else x
@@ -450,6 +462,7 @@ class SplitDecoder:
         heads = np.zeros(l_ne, bool)
         heads[n_lanes:] = True  # padded lanes: their own chains
         chunks_sizes = np.zeros(l_ne, np.int32)
+        px_budgets = np.zeros(l_ne, np.int32)
         where: List[List[Tuple[int, int, int]]] = [[] for _ in arrs]
         lane = 0
         max_chain = 1
@@ -461,8 +474,9 @@ class SplitDecoder:
                 b0, b1 = int(offs[k]), int(offs[k + 1])
                 regions[lane, : b1 - b0] = body[b0:b1]
                 chunks_sizes[lane] = b1 - b0
+                px_budgets[lane] = int(poffs[k + 1]) - int(poffs[k])
                 heads[lane] = k == 0
                 where[i].append((lane, int(poffs[k]), int(poffs[k + 1])))
                 lane += 1
-        return (regions, heads, chunks_sizes, where, descs, qb, n_cap,
-                max_chain, qc)
+        return (regions, heads, chunks_sizes, px_budgets, where, descs,
+                qb, n_cap, max_chain, qc)

@@ -80,14 +80,40 @@ def test_split_index_heavy_convergence_bound():
     assert np.array_equal(got[0], raw)
 
 
+def test_split_overproducing_runs_clamp_like_reference():
+    # Crafted (non-encoder) stream whose RUN chunks over-produce past w*h:
+    # the reference decoder clamps production at n_px (simple.cpp:156-163)
+    # and the native walker mirrors that clamp, so the device lanes must
+    # clamp pix_before at each segment's budget instead of silently
+    # diverging (ADVICE r4).  Interleave RGB writes so the stream still
+    # splits into many real segments.
+    from qoipp_tpu.common import write_header
+
+    w, h = 100, 10  # n_px = 1000
+    desc = Desc(w, h, Channels.RGB)
+    body = bytearray()
+    rng = np.random.default_rng(7)
+    produced = 0
+    while produced < 3 * w * h:  # 3x over-production
+        r, g, b = (int(x) for x in rng.integers(0, 256, 3))
+        body += bytes([0xFE, r, g, b])  # OP_RGB anchor
+        body += bytes([0xC0 | 61])      # RUN(62)
+        produced += 63
+    stream = bytes(write_header(desc)) + bytes(body) + b"\0" * 7 + b"\1"
+    want = oracle.decode(np.frombuffer(stream, np.uint8), desc,
+                         Channels.RGB)
+    dec = SplitDecoder(lanes=8)
+    got = dec.decode([stream])
+    assert np.array_equal(got[0], want)
+
+
 def test_split_planner_segments_on_chunk_boundaries():
     rng = np.random.default_rng(3)
     raw = _mixed_image(rng, 400, 300, 3)
     enc, _ = oracle.encode(raw, Desc(400, 300, Channels.RGB))
     dec = SplitDecoder(lanes=32)
-    regions, heads, chunks_sizes, where, descs, qb, n_cap, max_chain, qc = (
-        dec.plan_and_pack([enc])
-    )
+    (regions, heads, chunks_sizes, px_budgets, where, descs, qb, n_cap,
+     max_chain, qc) = dec.plan_and_pack([enc])
     segs = where[0]
     assert len(segs) > 1
     assert heads[segs[0][0]] and not any(heads[s[0]] for s in segs[1:])
@@ -96,6 +122,9 @@ def test_split_planner_segments_on_chunk_boundaries():
     for (l0, a0, b0), (l1, a1, b1) in zip(segs, segs[1:]):
         assert b0 == a1
     assert segs[-1][2] == 400 * 300
+    # per-lane pixel budgets mirror the walker's segment spans
+    for lane, a, b in segs:
+        assert px_budgets[lane] == b - a
     # lanes' byte loads are balanced within ~2x
     loads = [int(chunks_sizes[s[0]]) for s in segs]
     assert max(loads) <= 2 * max(min(loads), 1)
@@ -121,14 +150,14 @@ def test_split_chunk_compaction_engages_and_stays_exact():
     enc, _ = oracle.encode(raw, desc)
     dec = SplitDecoder(lanes=8)
     plan = dec.plan_and_pack([enc])
-    qc = plan[8]
+    qc = plan[9]
     assert qc > 0, "run-heavy stream should engage chunk compaction"
     got = dec.decode([enc])
     assert np.array_equal(got[0], raw)
     # byte-domain forcing: same plan, qc=0 — the two domains must agree on
     # every REAL pixel (tail rows beyond a lane's span may differ: the
     # fill repeats the last emitted value from different pad conventions)
-    staged = dec.stage_plan(plan[:8] + (0,))
+    staged = dec.stage_plan(plan[:9] + (0,))
     packed0, where, descs, _ = dec.dispatch_staged(staged)
     packedc, _, _, _ = dec.dispatch_staged(dec.stage_plan(plan))
     p0, pc = np.asarray(packed0), np.asarray(packedc)
@@ -146,7 +175,7 @@ def test_split_dense_stream_gates_to_byte_domain():
     enc, _ = oracle.encode(raw, Desc(200, 160, Channels.RGB))
     dec = SplitDecoder(lanes=8)
     plan = dec.plan_and_pack([enc])
-    assert plan[8] == 0
+    assert plan[9] == 0
     got = dec.decode([enc])
     assert np.array_equal(got[0], raw)
 

@@ -202,6 +202,60 @@ def main():
         log(f"[encode win=2^{wpx_log}px] device-compute {wpx/t/1e3:.1f} "
             f"MPix/s ({t:.1f} ms/window)")
 
+    # ---------------- encode: multi-lane window kernel (round 5) -----------
+    # Steady-state measurement: K windows chained in ONE jitted lax.scan
+    # threading the carry — total device time clears the >= 20 ms
+    # device_time_ms floor (CLAUDE.md), so the number is stable, and the
+    # per-window dispatch cost amortizes like a real streaming session.
+    for wpx_log, lanes in ((18, 8), (18, 16), (20, 16), (20, 32)):
+        wpx = 1 << wpx_log
+        nbl = -(-wpx // (lanes * enc_ops.TILE)) * (lanes * enc_ops.TILE)
+        K = max(n_px // wpx, 1)
+        K = min(K, 64)
+        wins = np.zeros((K, nbl * 3), np.uint8)
+        for k in range(K):
+            wins[k, : wpx * 3] = raw[k * wpx * 3 : (k + 1) * wpx * 3]
+        wins_d = jax.device_put(jnp.asarray(wins), dev)
+        prev = jnp.uint32(START_PIXEL_PACKED)
+        run_c = jnp.uint32(0)
+        seen = jnp.zeros(64, jnp.uint32)
+
+        @jax.jit
+        def echain(wins_d, prev, run_c, seen):
+            def step(carry, w):
+                p, r, s = carry
+                out, lens, p2, r2, s2 = ds._encode_window_lanes(
+                    w, jnp.int32(wpx), p, r, s, channels=3, nb=nbl,
+                    lanes=lanes,
+                )
+                # checksum keeps the outputs live without K full buffers
+                return (p2, r2, s2), (jnp.sum(lens),
+                                      jnp.sum(out.astype(jnp.uint32)))
+            carry, (lsum, osum) = jax.lax.scan(
+                step, (prev, run_c, seen), wins_d
+            )
+            return carry, lsum, osum
+
+        _ = jax.block_until_ready(echain(wins_d, prev, run_c, seen))
+        t = device_time_ms(echain, wins_d, prev, run_c, seen, runs=4)
+        log(f"[encode-lanes win=2^{wpx_log}px L={lanes}] device-compute "
+            f"{K*wpx/t/1e3:.1f} MPix/s ({t:.1f} ms / {K} windows)")
+
+        # single-window parity on chip at this exact geometry (vmapped
+        # table scans have miscompiled on TPU while passing CPU)
+        ence = ds.DeviceStreamEncoder(window_px=wpx, split_lanes=lanes)
+        hdr = ence.initialize(desc)
+        parts = [hdr.value()]
+        for s in range(0, n_px, wpx):
+            parts.append(ence.encode_window(
+                raw[s * 3 : (s + wpx) * 3]).value().tobytes())
+        parts.append(ence.finalize().value())
+        got = np.frombuffer(b"".join(parts), np.uint8)
+        ok = got.size == enc.size and np.array_equal(got, enc)
+        log(f"[encode-lanes win=2^{wpx_log}px L={lanes}] full-image parity "
+            f"{'100%' if ok else 'FAIL'}")
+        ence.reset()
+
 
 if __name__ == "__main__":
     main()

@@ -65,12 +65,22 @@ def __getattr__(name):
         from .ops.device_stream import DeviceStreamDecoder
 
         return DeviceStreamDecoder
+    if name == "ServingCodec":
+        from .models.serving import ServingCodec
+
+        return ServingCodec
+    if name == "ResidentCorpus":
+        from .models.serving import ResidentCorpus
+
+        return ResidentCorpus
     raise AttributeError(name)
 
 __all__ = [
     "BatchPipeline",
     "DeviceStreamDecoder",
     "DeviceStreamEncoder",
+    "ResidentCorpus",
+    "ServingCodec",
     "Channels",
     "Colorspace",
     "Desc",

@@ -60,6 +60,31 @@ def _size_tiers(idxs: Sequence[int], size: Dict[int, int], span: int,
     return tiers
 
 
+class ResidentCorpus:
+    """HBM-resident staged decode corpus (ServingCodec.make_resident).
+
+    Holds every engine's uploaded inputs; decode_device() re-dispatches
+    the device work from them (results HBM-resident — the north-star
+    measurement form), decode() additionally fetches and reassembles.
+    Steady-state serving cost is decode_device() alone: the one-time
+    staging upload amortizes across requests."""
+
+    def __init__(self, codec: "ServingCodec", staged):
+        self._codec = codec
+        self._staged = staged
+        self.n_streams = staged[0]
+
+    def decode_device(self):
+        """Dispatch decode from the resident staging; returns the
+        decode_finish-ready plan with HBM-resident results."""
+        return self._codec.decode_dispatch_staged(self._staged)
+
+    def decode(self) -> List[np.ndarray]:
+        """Full fetch form: decode from residency and reassemble raw
+        pixel buffers in submission order."""
+        return self._codec.decode_finish(self.decode_device())
+
+
 class ServingCodec:
     """Mixed-corpus QOI codec over the packed + bucketed engines.
 
@@ -261,6 +286,17 @@ class ServingCodec:
         ]
         return n, packed_staged, split_staged
 
+    def make_resident(self, blobs: Sequence) -> "ResidentCorpus":
+        """Stage a corpus's decode inputs into HBM ONCE and return a
+        handle that decodes from the resident staging arbitrarily many
+        times with NO re-upload — the deployment form the HBM-resident
+        north star describes (a serving fleet keeps its hot corpus staged
+        and answers decode requests from device memory; the transport
+        pays the corpus upload once, not per request).  Reference analog:
+        one front-end for any directory (example/source/04_bench.cpp:
+        849-876), which re-reads from host RAM instead."""
+        return ResidentCorpus(self, self.decode_stage(blobs))
+
     def decode_dispatch_staged(self, staged):
         """Dispatch a decode_stage plan; returns the decode_finish-ready
         plan with HBM-resident results."""
@@ -300,6 +336,8 @@ class ServingCodec:
         return results  # type: ignore[return-value]
 
     # -- encode -------------------------------------------------------------
+
+
 
     def encode(self, raws: Sequence[np.ndarray],
                descs: Sequence[Desc]) -> List[np.ndarray]:

@@ -396,17 +396,267 @@ def _encode_window(raw_u8, n_px, prev_c, run_c, seen_c, channels: int, nb: int):
     return out, total_len, prev_out, run_out, seen_out
 
 
+@partial(jax.jit, static_argnames=("channels", "nb", "lanes"))
+def _encode_window_lanes(raw_u8, n_px, prev_c, run_c, seen_c,
+                         channels: int, nb: int, lanes: int):
+    """Multi-lane window encode with CLOSED-FORM carries — the encode
+    analog of the decode windows' split-replay treatment (round-5).
+
+    The window's nb pixel slots split into `lanes` contiguous sub-windows
+    of nb/lanes pixels; unlike decode there is NO fixpoint, because the
+    encoder's carried state is a pure function of the pixel prefix (the
+    table-is-pure-function theorem, ops/encode.py; the same algebra as
+    parallel/sharded.make_sp_encode, here on one chip as a batch axis):
+
+      * entering prev  = the previous lane's last pixel (lane 0: carry);
+      * entering run   = a mod-62 recurrence over per-lane
+        (whole-lane-equal, trailing-streak) summaries;
+      * entering table = an exclusive overwrite-combine of per-lane
+        64-slot (last differing pixel per slot) summaries.
+
+    Each lane then runs the dense pass + MXU compaction + Pallas emit at
+    batch width L instead of the legacy B=1 (the compact/emit kernels'
+    per-slab costs amortize across lanes exactly like the batch encoder's).
+
+    raw_u8: (nb*channels,) u8 raw pixels (padding arbitrary), nb a multiple
+    of lanes*TILE; n_px: valid pixels; prev_c/run_c/seen_c: carried state.
+    Returns (out (L, lane_out_cap) u8, lens (L,) i32, prev_out, run_out,
+    seen_out).  The window's chunk bytes are concat(out[l][:lens[l]]).
+
+    Reference analog: bounded-state streaming encode
+    (include/qoipp/stream.hpp:23-116, source/stream.cpp:152-236) — the
+    reference streams byte-granular and strictly sequentially; this is the
+    TPU-native window form.
+    """
+    from .compact_kernel import BLK as CBLK
+    from .compact_kernel import compact_rows
+    from . import emit_kernel
+
+    TAG_RUN = enc_ops.TAG_RUN
+    L = lanes
+    n_loc = nb // L
+    packed_flat = pixels_to_packed(raw_u8, channels)  # (nb,)
+    packed = packed_flat.reshape(L, n_loc)
+
+    idx = jnp.arange(n_loc, dtype=jnp.int32)[None, :]
+    lane_ids = jnp.arange(L, dtype=jnp.int32)
+    v = jnp.clip(n_px - lane_ids * n_loc, 0, n_loc)  # (L,) valid pixels
+    valid = idx < v[:, None]
+
+    # ---- closed-form carry 1: entering prev pixel -------------------------
+    # lanes with v > 0 only follow FULL lanes, so the previous lane's last
+    # slot is its last valid pixel; v == 0 lanes' results are discarded
+    prev_in = jnp.concatenate(
+        [jnp.asarray(prev_c, jnp.uint32)[None], packed[:-1, -1]]
+    )  # (L,)
+
+    prev_rows = jnp.concatenate([prev_in[:, None], packed[:, :-1]], axis=1)
+    eq_raw = packed == prev_rows
+    noneq = valid & ~eq_raw
+
+    # ---- closed-form carry 2: entering run counter ------------------------
+    # per-lane summaries: first break position, trailing streak length,
+    # whole-lane-extends-incoming-streak.  v == 0 lanes read full=True,
+    # v=0 — the recurrence passes the run through them unchanged.
+    brk = jnp.max(jnp.where(noneq, idx + 1, 0), axis=1)  # (L,)
+    t_tail = jnp.maximum(v - brk, 0)
+    full = brk == 0
+
+    def rstep(r, x):
+        f, tl, vl = x
+        return jnp.where(f, (r + vl) % 62, tl % 62), r
+
+    run_out, run_ins = jax.lax.scan(
+        rstep, run_c.astype(jnp.int32), (full, t_tail, v)
+    )  # run_ins (L,): entering run per lane; run_out: window carry-out
+
+    # ---- closed-form carry 3: entering table ------------------------------
+    # per-lane 64-slot summary (last differing pixel per slot), then an
+    # exclusive overwrite-combine over lanes (log-shift, as the cross-tile
+    # scan in ops/encode._last_same_hash_value)
+    h_px = hash6(packed)
+    slot_ids = jnp.arange(64, dtype=jnp.int32)
+    m = (h_px[:, None, :] == slot_ids[None, :, None]) & noneq[:, None, :]
+    jb = jnp.max(jnp.where(m, idx[None, :, :] + 1, 0), axis=2)  # (L, 64)
+    sel = (idx[None, :, :] + 1) == jb[:, :, None]
+    vals = jnp.sum(jnp.where(sel, packed[:, None, :], jnp.uint32(0)), axis=2)
+    written = jb > 0
+    sv, sw = vals, written
+    k = 1
+    while k < L:
+        pv = jnp.concatenate([jnp.zeros((k, 64), sv.dtype), sv[:-k]], axis=0)
+        pw = jnp.concatenate([jnp.zeros((k, 64), bool), sw[:-k]], axis=0)
+        sv = jnp.where(sw, sv, pv)
+        sw = sw | pw
+        k *= 2
+    seen_cb = jnp.broadcast_to(seen_c[None, :], (L, 64))
+    seen_in = jnp.concatenate(
+        [seen_c[None, :],
+         jnp.where(sw[:-1], sv[:-1], seen_cb[:-1])], axis=0
+    )  # (L, 64)
+    seen_out = jnp.where(sw[-1], sv[-1], seen_c)
+
+    # ---- dense pass with per-lane entering (prev, run) --------------------
+    run0 = run_ins.astype(jnp.int32)[:, None]
+    last_noneq = jax.lax.cummax(
+        jnp.where(noneq, idx, -(run0 + 1)), axis=1
+    )
+    cnt = idx - last_noneq
+    hit62 = eq_raw & valid & (cnt % 62 == 0)
+    keep = noneq | hit62
+    fb = 21 if n_loc <= 1 << 21 else 30
+    posflag = (
+        jnp.broadcast_to(idx, (L, n_loc))
+        | jnp.where(noneq, 1 << fb, 0)
+    ).astype(jnp.uint32)
+
+    pad = (-n_loc) % CBLK
+    packed_p = jnp.pad(packed, ((0, 0), (0, pad)))
+    posflag_p = jnp.pad(posflag, ((0, 0), (0, pad)))
+    keep_p = jnp.pad(keep, ((0, 0), (0, pad)))
+
+    chunk_cap = _round_up(n_loc + n_loc // 62 + CBLK + 256, 128)
+    out_cap = _round_up((channels + 1) * n_loc + 64, emit_kernel.WIN)
+
+    (pk_c, pf_c), counts = compact_rows(
+        (packed_p, posflag_p), keep_p, cap=chunk_cap,
+        quarters=(4, 3 if fb == 21 else 4),
+    )
+    rows = jnp.arange(chunk_cap, dtype=jnp.int32)[None, :]
+    valid_c = rows < counts[:, None]
+    pk_c = jnp.where(valid_c, pk_c, 0)
+    pf_c = jnp.where(valid_c, pf_c, 0)
+    pos = (pf_c & ((1 << fb) - 1)).astype(jnp.int32)
+    nq_c = valid_c & (((pf_c >> fb) & 1) == 1)
+
+    prev_cr = jnp.concatenate([prev_in[:, None], pk_c[:, :-1]], axis=1)
+    pos_prev = jnp.concatenate(
+        [(-1 - run_ins.astype(jnp.int32))[:, None], pos[:, :-1]], axis=1
+    )
+    gap = jnp.where(valid_c, pos - pos_prev - 1, 0)
+
+    # ---- sparse fields on chunk rows (per-lane carried table) -------------
+    h = hash6(pk_c)
+    table_val = jax.vmap(enc_ops._last_same_hash_value)(
+        pk_c, h, nq_c, seen_in
+    )
+    is_index = nq_c & (table_val == pk_c)
+    a_cur = unpack_channel(pk_c, 3)
+    a_prev = unpack_channel(prev_cr, 3)
+    if channels == 4:
+        is_rgba = nq_c & ~is_index & (a_cur != a_prev)
+    else:
+        is_rgba = jnp.zeros((L, chunk_cap), bool)
+
+    dr = to_int8(unpack_channel(pk_c, 0) - unpack_channel(prev_cr, 0))
+    dg = to_int8(unpack_channel(pk_c, 1) - unpack_channel(prev_cr, 1))
+    db = to_int8(unpack_channel(pk_c, 2) - unpack_channel(prev_cr, 2))
+    dr_dg = to_int8((dr - dg).astype(jnp.uint32))
+    db_dg = to_int8((db - dg).astype(jnp.uint32))
+    in_diff = (
+        (dr >= -2) & (dr <= 1) & (dg >= -2) & (dg <= 1) & (db >= -2) & (db <= 1)
+    )
+    in_luma = (
+        (dg >= -32) & (dg <= 31)
+        & (dr_dg >= -8) & (dr_dg <= 7)
+        & (db_dg >= -8) & (db_dg <= 7)
+    )
+    rest = nq_c & ~is_index & ~is_rgba
+    is_diff = rest & in_diff
+    is_luma = rest & ~in_diff & in_luma
+    is_rgb = rest & ~in_diff & ~in_luma
+    own_len = jnp.where(
+        is_index, 1,
+        jnp.where(is_rgba, 5,
+                  jnp.where(is_diff, 1,
+                            jnp.where(is_luma, 2,
+                                      jnp.where(is_rgb, 4, 0)))),
+    ).astype(jnp.uint32)
+
+    r8 = unpack_channel(pk_c, 0)
+    g8 = unpack_channel(pk_c, 1)
+    b8 = unpack_channel(pk_c, 2)
+    diff_byte = (enc_ops.TAG_DIFF | ((dr + 2) << 4) | ((dg + 2) << 2)
+                 | (db + 2)).astype(jnp.uint32)
+    luma0 = (enc_ops.TAG_LUMA | (dg + 32)).astype(jnp.uint32)
+    luma1 = (((dr_dg + 8) << 4) | (db_dg + 8)).astype(jnp.uint32)
+    z = jnp.zeros((L, chunk_cap), jnp.uint32)
+    o0 = jnp.where(is_index, h.astype(jnp.uint32),
+                   jnp.where(is_rgba, jnp.uint32(enc_ops.TAG_RGBA),
+                             jnp.where(is_diff, diff_byte,
+                                       jnp.where(is_luma, luma0,
+                                                 jnp.where(is_rgb,
+                                                           jnp.uint32(
+                                                               enc_ops.TAG_RGB),
+                                                           z)))))
+    o1 = jnp.where(is_rgba | is_rgb, r8, jnp.where(is_luma, luma1, z))
+    o2 = jnp.where(is_rgba | is_rgb, g8, z)
+    o3 = jnp.where(is_rgba | is_rgb, b8, z)
+    o4 = jnp.where(is_rgba, a_cur, z)
+
+    run_byte = jnp.where(
+        nq_c, jnp.uint32(TAG_RUN) | ((gap - 1).astype(jnp.uint32) & 0x3F),
+        jnp.uint32(TAG_RUN | 61),
+    )
+    has_run = jnp.where(nq_c, gap > 0, valid_c)  # non-noneq rows are hit62
+    b0 = jnp.where(has_run, run_byte, o0)
+    b1 = jnp.where(has_run, o0, o1)
+    b2 = jnp.where(has_run, o1, o2)
+    b3 = jnp.where(has_run, o2, o3)
+    b4 = jnp.where(has_run, o3, o4)
+    b5 = jnp.where(has_run, o4, z)
+    nbytes_c = own_len + has_run.astype(jnp.uint32)
+    tlo_c = b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
+    thn_c = b4 | (b5 << 8) | (nbytes_c << 16)
+
+    # 1-byte sentinel row at counts (same protocol as the batch encoder)
+    upd = jax.vmap(lambda p, vv, c: jax.lax.dynamic_update_slice(p, vv, (c,)))
+    tlo_c = upd(tlo_c, jnp.zeros((L, 1), jnp.uint32), counts)
+    thn_c = upd(thn_c, jnp.full((L, 1), np.uint32(1 << 16)), counts)
+
+    nb_c = (thn_c >> 16).astype(jnp.int32)
+    nb_c = jnp.where(rows <= counts[:, None], nb_c, 0)
+    off = jnp.cumsum(nb_c, axis=1) - nb_c
+    total_len = jnp.sum(nb_c, axis=1) - 1  # sentinel byte excluded
+
+    base = emit_kernel.window_base_rows(off, out_cap)
+    words = emit_kernel.emit_bytes(off, tlo_c, thn_c, base, out_cap)
+    out = words.astype(jnp.uint8)
+    col = jnp.arange(out_cap, dtype=jnp.int32)[None, :]
+    out = jnp.where(col < total_len[:, None], out, 0)
+
+    last = n_px - 1
+    prev_out = jax.lax.dynamic_slice(packed_flat, (last,), (1,))[0]
+    return out, total_len, prev_out, run_out.astype(jnp.uint32), seen_out
+
+
 class DeviceStreamEncoder:
     """Window-granular streaming QOI encoder with device-resident state.
 
     Feed whole-pixel windows; receive each window's chunk bytes.  finalize()
     returns the pending-run byte (if any) plus the end marker — matching
     the reference's finalize contract (stream.cpp:241-267) at window
-    granularity."""
+    granularity.
 
-    def __init__(self, window_px: int = 1 << 18):
+    split_lanes > 1 routes each window through _encode_window_lanes (the
+    window splits into that many sub-windows with closed-form carries —
+    no fixpoint; the sp-encode algebra on one chip), amortizing the
+    compact/emit per-slab costs across lanes like the batch encoder.
+    split_lanes=1 keeps the legacy single-lane kernel.  Default stays 1
+    until the lanes path has chip parity + a timing win (the repo's
+    measure-then-land rule; vmapped table scans have miscompiled on TPU
+    while passing CPU before — see CLAUDE.md)."""
+
+    def __init__(self, window_px: int = 1 << 18, split_lanes: int = 1):
+        self.split_lanes = max(int(split_lanes), 1)
         self.window_px = window_px
-        self.nb = enc_ops.pad_to_tile(window_px)
+        if self.split_lanes > 1:
+            # each lane's sub-window must tile for the table scan
+            self.nb = _round_up(
+                window_px, self.split_lanes * enc_ops.TILE
+            )
+        else:
+            self.nb = enc_ops.pad_to_tile(window_px)
         self._desc: Optional[Desc] = None
         self._prev = None
         self._run = None
@@ -444,6 +694,27 @@ class DeviceStreamEncoder:
             cnt = min(self.window_px, n - s)
             buf = np.zeros(self.nb * ch, np.uint8)
             buf[: cnt * ch] = raw[s * ch : (s + cnt) * ch]
+            if self.split_lanes > 1:
+                out, lens, prev, run, seen = _encode_window_lanes(
+                    jnp.asarray(buf), jnp.int32(cnt), self._prev,
+                    self._run, self._seen, channels=ch, nb=self.nb,
+                    lanes=self.split_lanes,
+                )
+                self._prev, self._run, self._seen = prev, run, seen
+                lens_h = np.asarray(lens)
+                # ONE bulk fetch of the live byte span, bucket-rounded
+                # (an exact-length eager slice compiles per distinct
+                # length through the tunnel); per-lane trim on host
+                m = min(
+                    _round_up(max(int(lens_h.max(initial=1)), 1), 8192),
+                    out.shape[1],
+                )
+                host = np.asarray(out[:, :m])
+                out_parts.extend(
+                    host[l, : lens_h[l]]
+                    for l in range(out.shape[0]) if lens_h[l]
+                )
+                continue
             out, length, prev, run, seen = _encode_window(
                 jnp.asarray(buf), jnp.int32(cnt), self._prev, self._run,
                 self._seen, channels=ch, nb=self.nb,

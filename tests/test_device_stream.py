@@ -106,6 +106,85 @@ def test_encode_run_across_windows():
     assert np.array_equal(np.frombuffer(bytes(stream), np.uint8), want)
 
 
+def _seam_heavy_image(w, h, ch, seed):
+    """Runs (incl. whole-lane spans), palette reuse, gradients and noise —
+    every op class crosses sub-window seams at any lane split."""
+    rng = np.random.default_rng(seed)
+    n = w * h
+    px = rng.integers(0, 256, (n, ch)).astype(np.uint8)
+    px[n // 8 : n // 3] = 19  # long run spanning multiple lanes
+    pal = rng.integers(0, 256, (6, ch)).astype(np.uint8)
+    px[n // 3 : n // 2] = pal[rng.integers(0, 6, n // 2 - n // 3)]
+    ramp = (np.arange(n // 4) % 250).astype(np.uint8)
+    px[n // 2 : n // 2 + n // 4] = ramp[:, None] // np.arange(1, ch + 1)
+    return px.reshape(-1)
+
+
+@pytest.mark.parametrize("lanes", [4, 8])
+def test_encode_window_lanes_mixed(lanes):
+    # Multi-lane window encode (closed-form carries): multi-window stream
+    # with a partially-filled last window must be bit-exact with the
+    # oracle on seam-heavy content.
+    desc = Desc(96, 40, Channels.RGB)
+    raw = _seam_heavy_image(96, 40, 3, seed=11)
+    want, _ = oracle.encode(raw, desc)
+    enc = DeviceStreamEncoder(window_px=1024, split_lanes=lanes)
+    stream = bytearray(enc.initialize(desc).value())
+    for i in range(0, raw.size, 1024 * 3):
+        stream += enc.encode_window(raw[i : i + 1024 * 3]).value().tobytes()
+    stream += enc.finalize().value()
+    assert np.array_equal(np.frombuffer(bytes(stream), np.uint8), want)
+
+
+def test_encode_window_lanes_rgba():
+    desc = Desc(64, 48, Channels.RGBA)
+    raw = _seam_heavy_image(64, 48, 4, seed=12)
+    # alpha flips crossing lane seams force OP_RGBA decisions against
+    # carried prev pixels
+    raw[3::1024] = 7
+    want, _ = oracle.encode(raw, desc)
+    enc = DeviceStreamEncoder(window_px=768, split_lanes=8)
+    stream = bytearray(enc.initialize(desc).value())
+    for i in range(0, raw.size, 768 * 4):
+        stream += enc.encode_window(raw[i : i + 768 * 4]).value().tobytes()
+    stream += enc.finalize().value()
+    assert np.array_equal(np.frombuffer(bytes(stream), np.uint8), want)
+
+
+def test_encode_window_lanes_flat_runs():
+    # Whole lanes of equal pixels: the run recurrence's full-lane branch
+    # ((run_in + v) % 62) and in-lane 62-flushes, plus a pending trailing
+    # run carried through finalize.
+    desc = Desc(1000, 3, Channels.RGB)
+    raw = np.full(3000 * 3, 55, np.uint8)
+    raw[:3] = (9, 8, 7)
+    raw[1501 * 3 : 1502 * 3] = (1, 2, 3)  # one break mid-lane
+    want, _ = oracle.encode(raw, desc)
+    enc = DeviceStreamEncoder(window_px=1500, split_lanes=4)
+    stream = bytearray(enc.initialize(desc).value())
+    for i in range(0, raw.size, 1500 * 3):
+        stream += enc.encode_window(raw[i : i + 1500 * 3]).value().tobytes()
+    assert enc.has_run_count()
+    stream += enc.finalize().value()
+    assert np.array_equal(np.frombuffer(bytes(stream), np.uint8), want)
+
+
+def test_encode_window_lanes_index_chains():
+    # Palette-cycling content: INDEX hits on table slots written by
+    # EARLIER lanes — the exclusive overwrite-combine table carry.
+    rng = np.random.default_rng(13)
+    n = 4096
+    pal = rng.integers(0, 256, (48, 3)).astype(np.uint8)
+    raw = pal[rng.integers(0, 48, n)].reshape(-1)
+    desc = Desc(n, 1, Channels.RGB)
+    want, _ = oracle.encode(raw, desc)
+    enc = DeviceStreamEncoder(window_px=n, split_lanes=8)
+    stream = bytearray(enc.initialize(desc).value())
+    stream += enc.encode_window(raw).value().tobytes()
+    stream += enc.finalize().value()
+    assert np.array_equal(np.frombuffer(bytes(stream), np.uint8), want)
+
+
 def test_streaming_errors():
     dec = DeviceStreamDecoder(window_cap=256)
     from qoipp_tpu import Error

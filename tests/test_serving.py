@@ -43,6 +43,22 @@ def test_decode_mixed_routes_and_parity():
         assert np.array_equal(g, raw), f"{d.width}x{d.height} decode mismatch"
 
 
+def test_resident_corpus_decodes_many_times():
+    # Stage once, decode repeatedly from HBM residency (the serving cache
+    # mode): every request must return identical, oracle-exact results
+    # with no re-staging (the handle reuses the same staged arrays).
+    corpus = make_corpus(seed=3, n=14)
+    blobs = [oracle.encode(r, d)[0] for r, d in corpus]
+    codec = ServingCodec(pack_lane_bytes=8 << 10, min_len=1 << 12)
+    resident = codec.make_resident(blobs)
+    assert resident.n_streams == len(corpus)
+    first = resident.decode()
+    second = resident.decode()
+    for (raw, d), a, b in zip(corpus, first, second):
+        assert np.array_equal(a, raw), f"{d.width}x{d.height}"
+        assert np.array_equal(b, raw)
+
+
 def test_decode_split_min_routes_big_streams():
     # bodies above split_min_bytes go to the split engine even when the
     # pack lanes could hold them; parity must hold across both engines

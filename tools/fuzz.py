@@ -227,9 +227,13 @@ def fuzz_device_window_encode(rng, max_px=40_000):
     else:
         raw = (np.cumsum(rng.integers(-3, 4, n)) % 256).astype(np.uint8)
     want, _ = oracle.encode(raw, desc)
-    # fixed window-size set: each distinct window compiles its own program
+    # fixed window-size/lane set: each distinct (window, lanes) pair
+    # compiles its own program; lanes > 1 exercises the closed-form-carry
+    # multi-lane path (_encode_window_lanes)
     wins = (256, 1024, 3000, 8192)
-    enc = DeviceStreamEncoder(window_px=int(wins[int(rng.integers(0, 4))]))
+    lanes = (1, 8)[int(rng.integers(0, 2))]
+    enc = DeviceStreamEncoder(window_px=int(wins[int(rng.integers(0, 4))]),
+                              split_lanes=lanes)
     r = enc.initialize(desc)
     assert r, r.error()
     stream = bytearray(r.value())

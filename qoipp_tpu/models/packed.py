@@ -158,8 +158,10 @@ class PackedDecoder:
         transport copy releases the GIL, so a serving loop can run this
         on a worker thread while the calling thread plans the next tier
         (ServingCodec.decode_dispatch_overlapped)."""
+        from ..utils.transport import stage_h2d
+
         regions, seg, chunks_sizes, where, descs, qb, n_cap, l_total = plan
-        return (jnp.asarray(regions), jnp.asarray(seg),
+        return (stage_h2d(regions), jnp.asarray(seg),
                 jnp.asarray(chunks_sizes), where, descs, qb, n_cap, l_total)
 
     def dispatch_staged(self, staged):
@@ -535,8 +537,10 @@ class PackedEncoder:
         """Upload a plan_and_pack host plan (+ descs) to the device.  The
         transport copy releases the GIL (worker-thread overlap, see
         PackedDecoder.stage_plan)."""
+        from ..utils.transport import stage_h2d
+
         packed, flags, where, caps, descs = plan
-        return (jnp.asarray(packed), jnp.asarray(flags), where, caps, descs)
+        return (stage_h2d(packed), stage_h2d(flags), where, caps, descs)
 
     @staticmethod
     def dispatch_staged(staged):

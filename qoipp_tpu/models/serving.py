@@ -381,8 +381,7 @@ class ServingCodec:
         """Plan + upload every encode engine's inputs WITHOUT dispatching
         compute — pair with encode_dispatch_staged (the overlap point and
         the device-exec measurement form, as decode_stage)."""
-        import jax.numpy as jnp
-
+        from ..utils.transport import stage_h2d
         from .scheduler import _pad_b
 
         raws, tiers, by_geom = self._encode_plan(raws, descs)
@@ -402,7 +401,7 @@ class ServingCodec:
             for j, i in enumerate(idxs):
                 batch[j] = raws[i]
             bucket_staged.append(
-                (idxs, pipe, jnp.asarray(batch), descs[idxs[0]])
+                (idxs, pipe, stage_h2d(batch), descs[idxs[0]])
             )
         return len(raws), packed_staged, bucket_staged
 

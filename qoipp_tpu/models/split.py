@@ -355,9 +355,11 @@ class SplitDecoder:
     def stage_plan(plan):
         """Upload a plan_and_pack host plan — see
         PackedDecoder.stage_plan for the worker-thread rationale."""
+        from ..utils.transport import stage_h2d
+
         (regions, heads, chunks_sizes, px_budgets, where, descs, qb,
          n_cap, max_chain, qc) = plan
-        return (jnp.asarray(regions), jnp.asarray(heads),
+        return (stage_h2d(regions), jnp.asarray(heads),
                 jnp.asarray(chunks_sizes), jnp.asarray(px_budgets),
                 jnp.int32(max_chain), where, descs, qb, n_cap, qc)
 

@@ -92,3 +92,39 @@ def test_timing_helpers():
 
     assert mpix_per_s(1_000_000, 1.0) == pytest.approx(1000.0)
     assert time_ms(lambda: None, runs=2, warmup=0) >= 0
+
+
+def test_chunked_h2d_staging_bit_identical():
+    # Transport-granularity wiring (utils/transport.stage_h2d): with a
+    # tiny chunk size every engine's staged upload splits into many
+    # device_put pieces + one device concat — decode/encode results must
+    # be bit-identical with one-shot staging (only the transport
+    # granularity may change, never the bytes).
+    from qoipp_tpu.models.serving import ServingCodec
+    from qoipp_tpu.utils import transport
+
+    rng = np.random.default_rng(21)
+    corpus, blobs = [], []
+    for k in range(8):
+        desc = q.Desc(40 + 8 * k, 30,
+                      q.Channels.RGB if k % 2 else q.Channels.RGBA)
+        raw = rng.integers(
+            0, 256, desc.width * desc.height * int(desc.channels), np.uint8
+        )
+        corpus.append((raw, desc))
+        blobs.append(oracle.encode(raw, desc)[0])
+    codec = ServingCodec(pack_lane_bytes=8 << 10, min_len=1 << 12)
+    want_dec = codec.decode(blobs)
+    want_enc = codec.encode([r for r, _ in corpus], [d for _, d in corpus])
+    assert transport.get_h2d_chunk_bytes() == 0  # default off
+    transport.set_h2d_chunk_bytes(512)
+    try:
+        got_dec = codec.decode(blobs)
+        got_enc = codec.encode([r for r, _ in corpus],
+                               [d for _, d in corpus])
+    finally:
+        transport.set_h2d_chunk_bytes(0)
+    for a, b in zip(want_dec, got_dec):
+        assert np.array_equal(a, b)
+    for a, b in zip(want_enc, got_enc):
+        assert np.array_equal(a, b)

@@ -86,7 +86,20 @@ def main():
         np.array_equal(results[i], corpus[i][0]) for i in range(len(blobs))
     )
     print("parity vs oracle:", "100%" if ok else "FAILED")
-    return 0 if ok else 1
+
+    # The production front-end + the resident-corpus cache mode: stage
+    # the whole corpus into HBM once, then serve decode requests from
+    # device memory (steady-state cost = device dispatch alone).
+    serving = q.ServingCodec(pack_lane_bytes=PACK_CAP, min_len=1 << 12)
+    resident = serving.make_resident(blobs)
+    again = resident.decode()  # request 1
+    again2 = resident.decode()  # request 2 — no re-upload
+    ok2 = all(
+        np.array_equal(a, corpus[i][0]) and np.array_equal(b, corpus[i][0])
+        for i, (a, b) in enumerate(zip(again, again2))
+    )
+    print("resident-corpus parity (2 requests):", "100%" if ok2 else "FAILED")
+    return 0 if (ok and ok2) else 1
 
 
 if __name__ == "__main__":

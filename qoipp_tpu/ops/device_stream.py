@@ -159,8 +159,10 @@ class DeviceStreamDecoder:
             b0, b1 = int(offs[s]), int(offs[s + 1])
             regions[s, : b1 - b0] = warr[b0:b1]
             seg_lens[s] = b1 - b0
+        from ..utils.transport import stage_h2d
+
         packed, n_pix, consumed, prev, seen, _rounds = _decode_window_lanes(
-            jnp.asarray(regions), jnp.asarray(seg_lens),
+            stage_h2d(regions), jnp.asarray(seg_lens),
             self._prev, self._seen, jnp.int32(l), qb=qseg, n_cap=n_cap,
             qc=qc,
         )

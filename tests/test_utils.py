@@ -128,3 +128,22 @@ def test_chunked_h2d_staging_bit_identical():
         assert np.array_equal(a, b)
     for a, b in zip(want_enc, got_enc):
         assert np.array_equal(a, b)
+
+
+def test_stage_h2d_edges():
+    from qoipp_tpu.utils import transport
+
+    a1 = np.arange(1000, dtype=np.uint8)
+    a2 = np.arange(64, dtype=np.uint32).reshape(8, 8)
+    transport.set_h2d_chunk_bytes(64)
+    try:
+        assert np.array_equal(np.asarray(transport.stage_h2d(a1)), a1)
+        assert np.array_equal(np.asarray(transport.stage_h2d(a2)), a2)
+        # chunk bigger than the array: one-shot path
+        transport.set_h2d_chunk_bytes(1 << 20)
+        assert np.array_equal(np.asarray(transport.stage_h2d(a1)), a1)
+        # scalar-ish input
+        transport.set_h2d_chunk_bytes(1)
+        assert int(np.asarray(transport.stage_h2d(np.uint32(7)))) == 7
+    finally:
+        transport.set_h2d_chunk_bytes(0)
